@@ -46,3 +46,32 @@ def extract_features(
         uv=corners.uv, desc=desc, xyz=lifted.xyz, valid=lifted.valid,
         score=corners.score,
     )
+
+
+@partial(
+    jax.jit,
+    static_argnames=("n_octaves", "keypoints_per_octave", "upright"),
+)
+def extract_features_sift(
+    intensity: jnp.ndarray,
+    xyz: jnp.ndarray,
+    confidence: jnp.ndarray,
+    n_octaves: int = 3,
+    keypoints_per_octave: int = 96,
+    peak_thresh: float = 0.004,
+    upright: bool = True,
+) -> Features:
+    """SIFT variant of the frontend (the reference's primary extractor,
+    SIFT_extract_save.m): DoG keypoints + 128-D descriptors + depth lift."""
+    from pre3_tpu.frontend.sift import extract_sift
+
+    f = extract_sift(
+        intensity, n_octaves=n_octaves,
+        keypoints_per_octave=keypoints_per_octave,
+        peak_thresh=peak_thresh, upright=upright,
+    )
+    lifted = lift(f.uv, f.valid, jnp.nan_to_num(xyz), confidence)
+    return Features(
+        uv=f.uv, desc=f.desc, xyz=lifted.xyz, valid=lifted.valid,
+        score=f.score,
+    )

@@ -1,0 +1,374 @@
+"""SIFT detector + descriptor, TPU-native.
+
+Re-design of the reference's vendored Vedaldi SIFT (sift/sift_vedal.m:
+1-323 pipeline; C MEX kernels siftlocalmax.c, siftrefinemx.c, siftormx.c,
+siftdescriptor.c — ~2.6k lines of C). Per SURVEY §2.3, each MEX kernel maps
+to a dense tensor formulation:
+
+  siftlocalmax.c   → 26-neighbor max/min test as rolled-stack comparisons
+                     over the whole [S+2, H, W] DoG tensor at once
+  siftrefinemx.c   → batched 3×3 quadratic refinement (one closed-form
+                     solve per pixel, masked) + Harris-style edge rejection
+  siftormx.c       → orientation histograms via one-hot matmul over a
+                     fixed per-keypoint sample grid (gathered bilinearly)
+  siftdescriptor.c → 4×4×8 trilinear binning as an einsum of hat-function
+                     weights — the scatter becomes a dense [samples, bins]
+                     contraction that rides the MXU
+
+Fixed-capacity keypoint lists per octave (top-k by |DoG|), masked; single
+dominant orientation per keypoint (the reference can emit multiple
+orientations per keypoint — deviation documented here; it only duplicates
+keypoints, and map matching handles it identically).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from pre3_tpu.frontend.scalespace import (
+    Octave, build_pyramid, gradient_polar,
+)
+
+NBP = 4  # descriptor spatial bins
+NBO = 8  # descriptor orientation bins
+N_ORI_BINS = 36
+MAGNIF = 3.0  # descriptor bin width in units of σ (Lowe/Vedaldi magnif)
+DESC_SAMPLES = 16  # sample grid is DESC_SAMPLES × DESC_SAMPLES
+ORI_RADIUS = 8  # orientation window half-size (octave pixels)
+
+
+class SiftFeatures(NamedTuple):
+    uv: jnp.ndarray  # [K, 2] input-resolution pixel positions
+    scale: jnp.ndarray  # [K] σ in input-resolution pixels
+    orientation: jnp.ndarray  # [K] radians
+    desc: jnp.ndarray  # [K, 128]
+    score: jnp.ndarray  # [K] |DoG| response
+    valid: jnp.ndarray  # [K] bool
+
+
+# ---------------------------------------------------------------------------
+# Detection
+# ---------------------------------------------------------------------------
+
+
+def _local_extrema(dog: jnp.ndarray, peak_thresh: float) -> jnp.ndarray:
+    """[S+2, H, W] → bool mask of 26-neighborhood extrema (valid only on
+    interior levels/pixels; caller masks borders)."""
+    neigh_max = jnp.full_like(dog, -jnp.inf)
+    neigh_min = jnp.full_like(dog, jnp.inf)
+    for dl in (-1, 0, 1):
+        for dr in (-1, 0, 1):
+            for dc in (-1, 0, 1):
+                if dl == 0 and dr == 0 and dc == 0:
+                    continue
+                sh = jnp.roll(dog, (-dl, -dr, -dc), axis=(0, 1, 2))
+                neigh_max = jnp.maximum(neigh_max, sh)
+                neigh_min = jnp.minimum(neigh_min, sh)
+    is_max = (dog > neigh_max) & (dog > peak_thresh)
+    is_min = (dog < neigh_min) & (dog < -peak_thresh)
+    return is_max | is_min
+
+
+def _refine(dog: jnp.ndarray):
+    """Quadratic subpixel refinement over the whole DoG tensor.
+
+    Returns (offset [S+2, H, W, 3] in (level, row, col) order, edge_ok,
+    refined_value). Closed-form 3×3 solve via adjugate (no linalg.solve —
+    stays elementwise on the VPU)."""
+    d = dog
+    # first derivatives (central)
+    gl = 0.5 * (jnp.roll(d, -1, 0) - jnp.roll(d, 1, 0))
+    gr = 0.5 * (jnp.roll(d, -1, 1) - jnp.roll(d, 1, 1))
+    gc = 0.5 * (jnp.roll(d, -1, 2) - jnp.roll(d, 1, 2))
+    # second derivatives
+    hll = jnp.roll(d, -1, 0) + jnp.roll(d, 1, 0) - 2 * d
+    hrr = jnp.roll(d, -1, 1) + jnp.roll(d, 1, 1) - 2 * d
+    hcc = jnp.roll(d, -1, 2) + jnp.roll(d, 1, 2) - 2 * d
+
+    def cross(a, b):
+        return 0.25 * (
+            jnp.roll(d, (-1, -1), (a, b))
+            + jnp.roll(d, (1, 1), (a, b))
+            - jnp.roll(d, (-1, 1), (a, b))
+            - jnp.roll(d, (1, -1), (a, b))
+        )
+
+    hlr, hlc, hrc = cross(0, 1), cross(0, 2), cross(1, 2)
+
+    # Solve H x = -g for x via adjugate of the symmetric 3×3 H.
+    a, b_, c = hll, hlr, hlc
+    e, f = hrr, hrc
+    i = hcc
+    det = a * (e * i - f * f) - b_ * (b_ * i - f * c) + c * (b_ * f - e * c)
+    safe = jnp.where(jnp.abs(det) < 1e-12, 1e-12, det)
+    # adjugate rows (symmetric)
+    a00 = e * i - f * f
+    a01 = c * f - b_ * i
+    a02 = b_ * f - c * e
+    a11 = a * i - c * c
+    a12 = b_ * c - a * f
+    a22 = a * e - b_ * b_
+    xl = -(a00 * gl + a01 * gr + a02 * gc) / safe
+    xr = -(a01 * gl + a11 * gr + a12 * gc) / safe
+    xc = -(a02 * gl + a12 * gr + a22 * gc) / safe
+    offset = jnp.stack([xl, xr, xc], axis=-1)
+    refined = d + 0.5 * (gl * xl + gr * xr + gc * xc)
+    # Edge rejection on the spatial 2×2 Hessian (siftrefinemx.c, r=10)
+    r_edge = 10.0
+    tr = hrr + hcc
+    det2 = hrr * hcc - hrc * hrc
+    edge_ok = (det2 > 0) & (
+        tr * tr / jnp.where(det2 == 0, 1e-12, det2)
+        < (r_edge + 1) ** 2 / r_edge
+    )
+    return offset, edge_ok, refined
+
+
+def _detect_octave(
+    oct_: Octave, peak_thresh: float, max_keypoints: int, s_levels: int,
+    sigma0: float,
+):
+    """Top-K keypoints of one octave: (row, col, level, σ_oct, score, ok)."""
+    dog = oct_.dog
+    n_lev, h, w = dog.shape
+    extrema = _local_extrema(dog, peak_thresh)
+    offset, edge_ok, refined = _refine(dog)
+
+    levels = jax.lax.broadcasted_iota(jnp.int32, dog.shape, 0)
+    rows = jax.lax.broadcasted_iota(jnp.int32, dog.shape, 1)
+    cols = jax.lax.broadcasted_iota(jnp.int32, dog.shape, 2)
+    border = 5
+    interior = (
+        (levels >= 1) & (levels <= n_lev - 2)
+        & (rows >= border) & (rows < h - border)
+        & (cols >= border) & (cols < w - border)
+    )
+    small_off = jnp.all(jnp.abs(offset) < 1.5, axis=-1)
+    ok = extrema & edge_ok & interior & small_off & (
+        jnp.abs(refined) > peak_thresh
+    )
+    score = jnp.where(ok, jnp.abs(refined), 0.0)
+
+    flat = score.reshape(-1)
+    vals, idx = jax.lax.top_k(flat, max_keypoints)
+    lvl = idx // (h * w)
+    rem = idx % (h * w)
+    r = rem // w
+    c = rem % w
+    off = offset.reshape(-1, 3)[idx]
+    valid = vals > 0
+    # refined continuous position/level
+    r_f = r.astype(jnp.float32) + off[:, 1]
+    c_f = c.astype(jnp.float32) + off[:, 2]
+    s_f = lvl.astype(jnp.float32) + off[:, 0] - 1.0  # back to -1-based s
+    k = 2.0 ** (1.0 / s_levels)
+    sigma = sigma0 * jnp.power(k, s_f)
+    return r_f, c_f, lvl, sigma, vals, valid
+
+
+# ---------------------------------------------------------------------------
+# Gathers
+# ---------------------------------------------------------------------------
+
+
+def _gather_bilinear_level(
+    stack: jnp.ndarray,  # [L, H, W]
+    level: jnp.ndarray,  # [K] int32
+    uv: jnp.ndarray,  # [K, S, 2] float (u=col, v=row)
+) -> jnp.ndarray:
+    """Bilinear sample per keypoint from its own pyramid level: [K, S]."""
+    l_, h, w = stack.shape
+    flat = stack.reshape(-1)
+    u = jnp.clip(uv[..., 0], 0.0, w - 1.001)
+    v = jnp.clip(uv[..., 1], 0.0, h - 1.001)
+    u0 = jnp.floor(u).astype(jnp.int32)
+    v0 = jnp.floor(v).astype(jnp.int32)
+    du = u - u0
+    dv = v - v0
+    base = level[:, None] * (h * w)
+
+    def at(vi, ui):
+        return flat[base + vi * w + ui]
+
+    return (
+        at(v0, u0) * (1 - du) * (1 - dv)
+        + at(v0, u0 + 1) * du * (1 - dv)
+        + at(v0 + 1, u0) * (1 - du) * dv
+        + at(v0 + 1, u0 + 1) * du * dv
+    )
+
+
+# ---------------------------------------------------------------------------
+# Orientation
+# ---------------------------------------------------------------------------
+
+
+def _orientations(
+    mag: jnp.ndarray, ang: jnp.ndarray, level: jnp.ndarray,
+    r_f: jnp.ndarray, c_f: jnp.ndarray, sigma: jnp.ndarray,
+) -> jnp.ndarray:
+    """Dominant gradient orientation per keypoint (siftormx.c).
+
+    Fixed (2R+1)² sample window; Gaussian weight uses the per-keypoint
+    σ_w = 1.5σ. Histogram built by one-hot contraction, smoothed
+    circularly, peak refined by parabolic interpolation."""
+    rr = jnp.arange(-ORI_RADIUS, ORI_RADIUS + 1, dtype=jnp.float32)
+    gu, gv = jnp.meshgrid(rr, rr, indexing="xy")
+    grid = jnp.stack([gu.ravel(), gv.ravel()], axis=-1)  # [S², 2]
+    pts = jnp.stack([c_f, r_f], axis=-1)[:, None, :] + grid[None]
+    m = _gather_bilinear_level(mag, level, pts)  # [K, S²]
+    a = _gather_bilinear_level(ang, level, pts)
+    d2 = jnp.sum(grid * grid, axis=-1)[None]  # [1, S²]
+    sw = 1.5 * sigma[:, None]
+    wgt = jnp.exp(-d2 / (2.0 * sw * sw)) * m
+    # one-hot histogram over 36 bins
+    bin_f = (a % (2 * jnp.pi)) / (2 * jnp.pi) * N_ORI_BINS
+    b0 = jnp.floor(bin_f).astype(jnp.int32) % N_ORI_BINS
+    frac = bin_f - jnp.floor(bin_f)
+    bins = jnp.arange(N_ORI_BINS)
+    oh0 = (b0[..., None] == bins).astype(jnp.float32) * (1 - frac)[..., None]
+    oh1 = ((b0[..., None] + 1) % N_ORI_BINS == bins).astype(jnp.float32) * (
+        frac[..., None]
+    )
+    hist = jnp.einsum("ks,ksb->kb", wgt, oh0 + oh1)
+    # circular smoothing ×2 (reference smooths the histogram)
+    for _ in range(2):
+        hist = (
+            hist + 0.5 * (jnp.roll(hist, 1, -1) + jnp.roll(hist, -1, -1))
+        ) / 2.0
+    peak = jnp.argmax(hist, axis=-1)
+    hm = jnp.take_along_axis(hist, peak[:, None], axis=-1)[:, 0]
+    hl = jnp.take_along_axis(
+        hist, ((peak - 1) % N_ORI_BINS)[:, None], axis=-1
+    )[:, 0]
+    hr = jnp.take_along_axis(
+        hist, ((peak + 1) % N_ORI_BINS)[:, None], axis=-1
+    )[:, 0]
+    denom = hl - 2 * hm + hr
+    dpk = jnp.where(jnp.abs(denom) > 1e-12, 0.5 * (hl - hr) / denom, 0.0)
+    return (peak + dpk) * (2 * jnp.pi / N_ORI_BINS)
+
+
+# ---------------------------------------------------------------------------
+# Descriptor
+# ---------------------------------------------------------------------------
+
+
+def _descriptors(
+    mag: jnp.ndarray, ang: jnp.ndarray, level: jnp.ndarray,
+    r_f: jnp.ndarray, c_f: jnp.ndarray, sigma: jnp.ndarray,
+    theta: jnp.ndarray,
+) -> jnp.ndarray:
+    """128-D descriptors (siftdescriptor.c): 4×4 spatial × 8 orientation
+    trilinear binning over a rotated, σ-scaled sample grid."""
+    ns = DESC_SAMPLES
+    # sample grid in bin units: covers [-NBP/2, NBP/2]
+    lin = (jnp.arange(ns) + 0.5) / ns * NBP - NBP / 2.0  # [-2, 2)
+    gx, gy = jnp.meshgrid(lin, lin, indexing="xy")
+    gxy = jnp.stack([gx.ravel(), gy.ravel()], axis=-1)  # [ns², 2] bin units
+
+    ct, st = jnp.cos(theta), jnp.sin(theta)  # [K]
+    # rotate then scale to pixels: offset = R(θ)·(x, y)·MAGNIF·σ
+    scale = (MAGNIF * sigma)[:, None]  # [K, 1]
+    ox = (ct[:, None] * gxy[None, :, 0] - st[:, None] * gxy[None, :, 1]) * scale
+    oy = (st[:, None] * gxy[None, :, 0] + ct[:, None] * gxy[None, :, 1]) * scale
+    pts = jnp.stack(
+        [c_f[:, None] + ox, r_f[:, None] + oy], axis=-1
+    )  # [K, ns², 2]
+    m = _gather_bilinear_level(mag, level, pts)
+    a = _gather_bilinear_level(ang, level, pts) - theta[:, None]
+
+    # Gaussian window in bin units (σ_win = NBP/2)
+    d2 = jnp.sum(gxy * gxy, axis=-1)[None]
+    win = jnp.exp(-d2 / (2.0 * (NBP / 2.0) ** 2))
+    wm = m * win  # [K, ns²]
+
+    # spatial hat weights to the 4 bins per axis (bin centers at
+    # -1.5, -0.5, 0.5, 1.5 in bin units)
+    centers = jnp.arange(NBP) - (NBP - 1) / 2.0  # [-1.5 .. 1.5]
+    wx = jnp.maximum(0.0, 1.0 - jnp.abs(gxy[:, 0:1] - centers[None]))  # [ns²,4]
+    wy = jnp.maximum(0.0, 1.0 - jnp.abs(gxy[:, 1:2] - centers[None]))
+    # orientation circular hat weights to 8 bins
+    af = (a % (2 * jnp.pi)) / (2 * jnp.pi) * NBO  # [K, ns²]
+    ob = jnp.arange(NBO)
+    diff = jnp.abs(af[..., None] - ob[None, None])  # [K, ns², 8]
+    circ = jnp.minimum(diff, NBO - diff)
+    wo = jnp.maximum(0.0, 1.0 - circ)
+
+    # desc[k, ybin, xbin, obin] = Σ_s wm·wy·wx·wo
+    desc = jnp.einsum("ks,sy,sx,kso->kyxo", wm, wy, wx, wo)
+    desc = desc.reshape(desc.shape[0], -1)  # [K, 128]
+    # normalize → clamp 0.2 → renormalize (Lowe illumination handling)
+    n1 = jnp.linalg.norm(desc, axis=-1, keepdims=True)
+    desc = desc / jnp.maximum(n1, 1e-8)
+    desc = jnp.minimum(desc, 0.2)
+    n2 = jnp.linalg.norm(desc, axis=-1, keepdims=True)
+    return desc / jnp.maximum(n2, 1e-8)
+
+
+# ---------------------------------------------------------------------------
+# Full pipeline
+# ---------------------------------------------------------------------------
+
+
+@partial(
+    jax.jit,
+    static_argnames=(
+        "n_octaves", "s_levels", "keypoints_per_octave", "peak_thresh",
+        "upright",
+    ),
+)
+def extract_sift(
+    img: jnp.ndarray,
+    n_octaves: int = 3,
+    s_levels: int = 3,
+    keypoints_per_octave: int = 128,
+    peak_thresh: float = 0.004,
+    upright: bool = True,
+) -> SiftFeatures:
+    """SIFT on [H, W] float image in [0, 1] → fixed-capacity feature set
+    (K = n_octaves · keypoints_per_octave, masked).
+
+    upright=True skips orientation assignment (θ=0): for RGB-D SLAM with
+    small inter-frame roll, upright descriptors are markedly more
+    repeatable on weakly-oriented texture (the reference always assigns
+    orientations — documented deviation; set upright=False for full
+    rotation invariance)."""
+    sigma0 = 1.6 * 2.0 ** (1.0 / s_levels)
+    octaves = build_pyramid(
+        img, n_octaves=n_octaves, s_levels=s_levels, sigma0=sigma0
+    )
+    outs = []
+    for oct_ in octaves:
+        r_f, c_f, lvl, sigma, score, valid = _detect_octave(
+            oct_, peak_thresh, keypoints_per_octave, s_levels, sigma0
+        )
+        mags, angs = [], []
+        for s in range(oct_.gss.shape[0]):
+            mg, an = gradient_polar(oct_.gss[s])
+            mags.append(mg)
+            angs.append(an)
+        mag = jnp.stack(mags)
+        ang = jnp.stack(angs)
+        if upright:
+            theta = jnp.zeros_like(sigma)
+        else:
+            theta = _orientations(mag, ang, lvl, r_f, c_f, sigma)
+        desc = _descriptors(mag, ang, lvl, r_f, c_f, sigma, theta)
+        ds = float(oct_.downsample)
+        outs.append(
+            SiftFeatures(
+                uv=jnp.stack([c_f * ds, r_f * ds], axis=-1),
+                scale=sigma * ds,
+                orientation=theta,
+                desc=desc,
+                score=score,
+                valid=valid,
+            )
+        )
+    return jax.tree.map(lambda *xs: jnp.concatenate(xs, axis=0), *outs)
