@@ -1,0 +1,243 @@
+"""Bundle adjustment: Gauss-Newton with Schur-complement landmark
+elimination.
+
+This is the backend the BASELINE north star specifies in place of the
+reference's monolithic dense EKF (predict_state_and_covariance.m:131 /
+update.m:32-38 are O(N²)–O(N³) in map size): a keyframe/landmark factor
+graph where each factor is the reprojection of landmark l in keyframe f.
+
+Structure exploited (the classic BA sparsity):
+  H = [[Hcc, W], [Wᵀ, Hpp]] with Hcc block-diag over keyframes [F, 6, 6],
+  Hpp block-diag over landmarks [L, 3, 3], W the coupling [F, 6, L, 3].
+  Landmarks are eliminated in closed form (batched 3×3 inverses), the
+  reduced camera system S = Hcc − W Hpp⁻¹ Wᵀ (size 6F, dense — F is tens)
+  is solved on one device, and landmarks back-substitute independently.
+
+Everything is masked/static-shaped: obs [F, L, 2] + mask [F, L]. The
+landmark dimension is the parallel axis — the distributed version shards
+L across devices and psums the reduced system (parallel/ba_sharded.py).
+
+Parameterization: keyframe pose = (t[3], rotation-vector increment on a
+reference quaternion); updates compose on the manifold each iteration.
+Gauge freedom is fixed by freezing keyframe 0.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from pre3_tpu.geometry.camera import Camera, distort, project_point
+from pre3_tpu.geometry.quaternion import qconj, qnormalize, qprod, qrotate, v2q
+
+
+class BaProblem(NamedTuple):
+    obs_uv: jnp.ndarray  # [F, L, 2] observed pixels
+    mask: jnp.ndarray  # [F, L] bool
+    kf_t: jnp.ndarray  # [F, 3] initial keyframe positions (world)
+    kf_q: jnp.ndarray  # [F, 4] initial keyframe orientations (cam→world)
+    points: jnp.ndarray  # [L, 3] initial landmark positions (world)
+    # Optional RGB-D depth factors: camera-frame 3D observation of the
+    # landmark (SR4000 per-pixel xyz). These pin the scale gauge that
+    # reprojection-only BA leaves free, exactly as the reference's depth
+    # priors do for the EKF (initialize_a_feature_sift_3.m:116).
+    obs_xyz: jnp.ndarray | None = None  # [F, L, 3]
+    mask_xyz: jnp.ndarray | None = None  # [F, L]
+
+
+class BaResult(NamedTuple):
+    kf_t: jnp.ndarray
+    kf_q: jnp.ndarray
+    points: jnp.ndarray
+    cost: jnp.ndarray  # [iters+1] masked mean squared reprojection error
+
+
+def _residual_one(
+    cam: Camera, t: jnp.ndarray, q: jnp.ndarray, dx: jnp.ndarray,
+    p: jnp.ndarray, uv: jnp.ndarray,
+    xyz: jnp.ndarray, w_px: jnp.ndarray, w_xyz: jnp.ndarray,
+) -> jnp.ndarray:
+    """Stacked residual [5] for one (keyframe, landmark) pair with pose
+    increment dx = [dt(3), dθ(3)] applied on the manifold:
+    T ← (t + dt, q ⊗ exp(dθ)). Rows 0:2 = reprojection (pixels·w_px),
+    rows 2:5 = camera-frame depth factor (meters·w_xyz)."""
+    t2 = t + dx[:3]
+    q2 = qprod(q, v2q(dx[3:]))
+    p_cam = qrotate(qconj(q2), p - t2)
+    r_px = (distort(cam, project_point(cam, p_cam)) - uv) * w_px
+    r_xyz = (p_cam - xyz) * w_xyz
+    return jnp.concatenate([r_px, r_xyz])
+
+
+def _build_normal_eqs(cam, kf_t, kf_q, points, obs_uv, mask,
+                      obs_xyz, w_xyz_fl, damping, huber_delta=3.0):
+    """One linearization: masked J/r over the [F, L] grid → blocks."""
+    f, l = mask.shape
+    zero6 = jnp.zeros(6)
+
+    def per_pair(ti, qi, pj, uvij, xyzij, wxj, wpj):
+        args = (pj, uvij, xyzij, wpj, wxj)
+        r = _residual_one(cam, ti, qi, zero6, *args)
+        jc = jax.jacfwd(
+            lambda d: _residual_one(cam, ti, qi, d, *args)
+        )(zero6)  # [5, 6]
+        jp = jax.jacfwd(
+            lambda pp: _residual_one(
+                cam, ti, qi, zero6, pp, uvij, xyzij, wpj, wxj
+            )
+        )(pj)  # [5, 3]
+        return r, jc, jp
+
+    w_px_fl = mask.astype(obs_uv.dtype)  # [F, L]
+    # vmap over landmarks then keyframes → [F, L, ...]
+    r, jc, jp = jax.vmap(
+        lambda ti, qi, uvi, xyzi, wxi, wpi: jax.vmap(
+            lambda pj, uvij, xyzij, wxj, wpj: per_pair(
+                ti, qi, pj, uvij, xyzij, wxj, wpj
+            )
+        )(points, uvi, xyzi, wxi, wpi)
+    )(kf_t, kf_q, obs_uv, obs_xyz, w_xyz_fl, w_px_fl)
+
+    # Huber IRLS: per-pair robust weight w = min(1, δ/‖r‖) down-weights
+    # outlier factors (wrong long-baseline matches) so they cannot drag
+    # the solution — applied to both J and r (the IRLS majorizer).
+    rnorm = jnp.linalg.norm(r, axis=-1)  # [F, L]
+    wr = jnp.sqrt(jnp.minimum(1.0, huber_delta / jnp.maximum(rnorm, 1e-9)))
+    r = r * wr[..., None]
+    jc = jc * wr[..., None, None]
+    jp = jp * wr[..., None, None]
+
+    hcc = jnp.einsum("flab,flac->fbc", jc, jc)  # [F, 6, 6]
+    hpp = jnp.einsum("flab,flac->lbc", jp, jp)  # [L, 3, 3]
+    wcp = jnp.einsum("flab,flac->flbc", jc, jp)  # [F, L, 6, 3]
+    bc = -jnp.einsum("flab,fla->fb", jc, r)  # [F, 6]
+    bp = -jnp.einsum("flab,fla->lb", jp, r)  # [L, 3]
+
+    hcc = hcc + damping * jnp.eye(6)[None]
+    hpp = hpp + damping * jnp.eye(3)[None]
+    return hcc, hpp, wcp, bc, bp
+
+
+def schur_solve(hcc, hpp, wcp, bc, bp, fixed_first: bool = True):
+    """Eliminate landmarks, solve the reduced camera system, back-substitute.
+
+    Returns (dc [F, 6], dp [L, 3]).
+    """
+    f = hcc.shape[0]
+    l = hpp.shape[0]
+    hpp_inv = jnp.linalg.inv(hpp)  # [L, 3, 3] batched
+    # S = Hcc_blockdiag − Σ_l W_fl Hpp_l⁻¹ W_gl ᵀ  → [F, 6, F, 6]
+    whw = jnp.einsum("flab,lbc,gldc->fagd", wcp, hpp_inv, wcp)
+    s = -whw
+    s = s.at[jnp.arange(f), :, jnp.arange(f), :].add(hcc)
+    rhs = bc - jnp.einsum("flab,lbc,lc->fa", wcp, hpp_inv, bp)  # [F, 6]
+
+    if fixed_first:
+        # gauge fix: freeze keyframe 0 by zeroing its rows/cols and
+        # placing identity on its diagonal block
+        e = jnp.zeros((f,)).at[0].set(1.0)
+        keep = 1.0 - e
+        s = s * keep[:, None, None, None] * keep[None, None, :, None]
+        s = s.at[0, :, 0, :].set(jnp.eye(6))
+        rhs = rhs * keep[:, None]
+
+    # Jacobi normalization before the f32 solve: the raw reduced system has
+    # cond ~1e8 (pixel-unit Jacobians ~f² on the diagonal), beyond f32;
+    # D^{-1/2} S D^{-1/2} brings it into range. Algebraically exact.
+    sd = s.reshape(f * 6, f * 6)
+    d = jnp.sqrt(jnp.maximum(jnp.diagonal(sd), 1e-12))
+    sn = sd / d[:, None] / d[None, :]
+    y = jnp.linalg.solve(sn, rhs.reshape(-1) / d)
+    dc = (y / d).reshape(f, 6)
+    dp = jnp.einsum(
+        "lab,lb->la", hpp_inv, bp - jnp.einsum("flab,fa->lb", wcp, dc)
+    )
+    return dc, dp
+
+
+def _cost(cam, kf_t, kf_q, points, obs_uv, mask, obs_xyz, w_xyz_fl,
+          huber_delta=3.0):
+    zero6 = jnp.zeros(6)
+    w_px_fl = mask.astype(obs_uv.dtype)
+    r = jax.vmap(
+        lambda ti, qi, uvi, xyzi, wxi, wpi: jax.vmap(
+            lambda pj, uvij, xyzij, wxj, wpj: _residual_one(
+                cam, ti, qi, zero6, pj, uvij, xyzij, wpj, wxj
+            )
+        )(points, uvi, xyzi, wxi, wpi)
+    )(kf_t, kf_q, obs_uv, obs_xyz, w_xyz_fl, w_px_fl)
+    # Huber cost: quadratic inside δ, linear outside — consistent with the
+    # IRLS weights in _build_normal_eqs.
+    rn = jnp.linalg.norm(r, axis=-1)
+    rho = jnp.where(
+        rn <= huber_delta, rn * rn,
+        huber_delta * (2.0 * rn - huber_delta),
+    )
+    n = jnp.sum(mask) + jnp.sum(w_xyz_fl > 0)
+    return jnp.sum(rho) / jnp.maximum(n, 1)
+
+
+@partial(jax.jit, static_argnames=("iters", "fixed_first"))
+def bundle_adjust(
+    cam: Camera,
+    problem: BaProblem,
+    iters: int = 10,
+    damping: float = 1e-3,
+    fixed_first: bool = True,
+    depth_weight: float = 50.0,
+) -> BaResult:
+    """Fixed-iteration damped Gauss-Newton BA (static trip count; a step
+    that increases the cost is rejected, keeping the iteration safe
+    without data-dependent control flow).
+
+    depth_weight: residual weight of the 3D depth factors in 1/meters
+    (default 1/σ with σ = 2 cm), relative to pixel residuals at weight 1.
+    """
+    f, l = problem.mask.shape
+    if problem.obs_xyz is None:
+        obs_xyz = jnp.zeros((f, l, 3), problem.obs_uv.dtype)
+        w_xyz_fl = jnp.zeros((f, l), problem.obs_uv.dtype)
+    else:
+        obs_xyz = problem.obs_xyz
+        mask_xyz = (
+            problem.mask_xyz if problem.mask_xyz is not None else problem.mask
+        )
+        w_xyz_fl = (problem.mask & mask_xyz).astype(
+            problem.obs_uv.dtype
+        ) * depth_weight
+
+    def gn_step(carry, _):
+        kf_t, kf_q, points = carry
+        c0 = _cost(cam, kf_t, kf_q, points, problem.obs_uv, problem.mask,
+                   obs_xyz, w_xyz_fl)
+        hcc, hpp, wcp, bc, bp = _build_normal_eqs(
+            cam, kf_t, kf_q, points, problem.obs_uv, problem.mask,
+            obs_xyz, w_xyz_fl, damping,
+        )
+        dc, dp = schur_solve(hcc, hpp, wcp, bc, bp, fixed_first)
+        t2 = kf_t + dc[:, :3]
+        q2 = qnormalize(qprod(kf_q, v2q(dc[:, 3:])))
+        p2 = points + dp
+        c1 = _cost(cam, t2, q2, p2, problem.obs_uv, problem.mask,
+                   obs_xyz, w_xyz_fl)
+        better = c1 < c0
+        kf_t = jnp.where(better, t2, kf_t)
+        kf_q = jnp.where(better, q2, kf_q)
+        points = jnp.where(better, p2, points)
+        return (kf_t, kf_q, points), jnp.where(better, c1, c0)
+
+    init = (problem.kf_t, problem.kf_q, problem.points)
+    (kf_t, kf_q, points), costs = jax.lax.scan(
+        gn_step, init, None, length=iters
+    )
+    cost0 = _cost(
+        cam, problem.kf_t, problem.kf_q, problem.points, problem.obs_uv,
+        problem.mask, obs_xyz, w_xyz_fl,
+    )
+    return BaResult(
+        kf_t=kf_t, kf_q=kf_q, points=points,
+        cost=jnp.concatenate([cost0[None], costs]),
+    )

@@ -1,0 +1,223 @@
+"""Map management: delete / convert / add landmarks in the masked state.
+
+Re-design of map_management.m:27-80 and friends:
+  delete_features.m:32-46 — tracking-ratio, age, and invisibility rules;
+    deletion is a mask flip + row/col zeroing (the reference physically
+    shrinks x/P per feature, delete_a_feature.m — impossible under static
+    shapes and unnecessary: zeroed blocks are exact no-ops downstream)
+  inversedepth_2_cartesian.m:29-74 — linearity-index conversion with the
+    closed-form reparameterization Jacobian, applied in-place in the
+    6-wide slot (extra 3 dims zeroed)
+  initialize_features.m / add_features_inverse_depth.m /
+    add_a_feature_covariance_inverse_depth.m:27-90 — new landmarks from
+    unmatched frame features with the RGB-D depth prior ρ = 1/‖xyz‖,
+    σρ = 0.01·ρ² (initialize_a_feature_sift_3.m:116,
+    add_features_inverse_depth.m:48), full covariance augmentation via
+    autodiff Jacobians of the init function.
+
+Deviation from the reference (documented): candidate selection uses
+detector-score top-k among features far from existing landmark
+predictions, instead of Gaussian-center-weighted sampling without
+replacement (Weighted_Smpl_wo_replacement.m) — deterministic and
+batch-friendly; the box-occupancy goal (spatial spread) is served by the
+min-distance gate.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from pre3_tpu.ekf.state import CAM_DIM, LM_DIM, EkfState
+from pre3_tpu.frontend.pipeline import Features
+from pre3_tpu.geometry.camera import Camera
+from pre3_tpu.geometry.inverse_depth import (
+    conversion_jacobian, inverse_depth_point, inverse_depth_to_cartesian,
+    linearity_index,
+)
+
+
+# ---------------------------------------------------------------------------
+# Delete
+# ---------------------------------------------------------------------------
+
+
+def delete_features(
+    state: EkfState, step: jnp.ndarray,
+    min_predicted: int = 5,
+    max_age: int = 20,
+    max_invisible: int = 20,
+    invisible_rule_min_map: int = 20,
+) -> EkfState:
+    """Deactivate bad landmarks (delete_features.m:32-46)."""
+    bad_ratio = (
+        state.times_measured < 0.5 * state.times_predicted
+    ) & (state.times_predicted > min_predicted)
+    too_old = (step - state.init_frame) > max_age
+    n_active = jnp.sum(state.active)
+    lost = (n_active > invisible_rule_min_map) & (
+        (step - state.last_visible) > max_invisible
+    )
+    drop = state.active & (bad_ratio | too_old | lost)
+    return _deactivate(state, drop)
+
+
+def _deactivate(state: EkfState, drop: jnp.ndarray) -> EkfState:
+    k = state.n_landmarks
+    keep_dims = jnp.concatenate(
+        [jnp.ones(CAM_DIM, bool), jnp.repeat(~drop, LM_DIM)]
+    )
+    x = jnp.where(keep_dims, state.x, 0.0)
+    p = state.p * keep_dims[:, None] * keep_dims[None, :]
+    return state._replace(
+        x=x, p=p, active=state.active & ~drop,
+        is_id=state.is_id & ~drop,
+    )
+
+
+# ---------------------------------------------------------------------------
+# Inverse-depth → Cartesian conversion
+# ---------------------------------------------------------------------------
+
+
+def convert_to_cartesian(
+    state: EkfState, threshold: float = 0.1
+) -> EkfState:
+    """Reparameterize well-localized inverse-depth landmarks
+    (inversedepth_2_cartesian.m:56: convert when 4·σd·cosα/d < 0.1)."""
+    k = state.n_landmarks
+    lms = state.landmarks
+    rho_idx = CAM_DIM + jnp.arange(k) * LM_DIM + 5
+    sigma_rho = jnp.sqrt(jnp.maximum(state.p[rho_idx, rho_idx], 0.0))
+    li = jax.vmap(lambda y, s: linearity_index(y, s, state.x[0:3]))(
+        lms, sigma_rho
+    )
+    conv = state.active & state.is_id & (li < threshold) & (
+        lms[:, 5] > 1e-6
+    )
+
+    # Per-slot 6×6 reparameterization blocks: top 3 rows = ∂p/∂y, rest 0.
+    j3 = jax.vmap(conversion_jacobian)(lms)  # [K, 3, 6]
+    j6 = jnp.concatenate([j3, jnp.zeros((k, 3, LM_DIM))], axis=1)  # [K,6,6]
+    eye6 = jnp.broadcast_to(jnp.eye(LM_DIM), (k, LM_DIM, LM_DIM))
+    blocks = jnp.where(conv[:, None, None], j6, eye6)
+
+    # Full J = blockdiag(I₁₃, blocks) — static positions, then one
+    # J P Jᵀ (D ≈ 400: cheap, simple, fuses well).
+    d = CAM_DIM + k * LM_DIM
+    big = jnp.zeros((k, LM_DIM, k, LM_DIM))
+    big = big.at[jnp.arange(k), :, jnp.arange(k), :].set(blocks)
+    jfull = jnp.zeros((d, d))
+    jfull = jfull.at[:CAM_DIM, :CAM_DIM].set(jnp.eye(CAM_DIM))
+    jfull = jfull.at[CAM_DIM:, CAM_DIM:].set(
+        big.reshape(k * LM_DIM, k * LM_DIM)
+    )
+    p = jfull @ state.p @ jfull.T
+    p = 0.5 * (p + p.T)
+
+    pts = jax.vmap(inverse_depth_to_cartesian)(lms)  # [K, 3]
+    new_lms = jnp.where(
+        conv[:, None],
+        jnp.concatenate([pts, jnp.zeros((k, 3))], axis=-1),
+        lms,
+    )
+    x = state.x.at[CAM_DIM:].set(new_lms.reshape(-1))
+    return state._replace(x=x, p=p, is_id=state.is_id & ~conv)
+
+
+# ---------------------------------------------------------------------------
+# Add
+# ---------------------------------------------------------------------------
+
+
+def add_features(
+    cam_model: Camera,
+    state: EkfState,
+    frame: Features,
+    predicted_h: jnp.ndarray,  # [K, 2] current predicted landmark pixels
+    step: jnp.ndarray,
+    n_measured: jnp.ndarray,
+    max_adds: int = 8,
+    min_measured: int = 25,
+    min_separation_px: float = 10.0,
+    std_pxl: float = 1.0,
+    depth_sigma: float = 0.01,
+) -> EkfState:
+    """Initialize up to `max_adds` new inverse-depth landmarks from
+    depth-valid, well-separated frame features when tracking support is
+    low (map_management.m:58-66 / initialize_features.m)."""
+    k = state.n_landmarks
+    kf = frame.uv.shape[0]
+
+    # Candidate gate: valid, has depth, far from every active landmark's
+    # predicted position.
+    d2map = jnp.linalg.norm(
+        frame.uv[:, None, :] - predicted_h[None], axis=-1
+    )  # [Kf, K]
+    d2map = jnp.where(state.active[None], d2map, jnp.inf)
+    far = jnp.min(d2map, axis=-1) > min_separation_px
+    has_depth = jnp.linalg.norm(frame.xyz, axis=-1) > 0.2
+    cand = frame.valid & has_depth & far
+    want = n_measured < min_measured
+    score = jnp.where(cand & want, frame.score, -1.0)
+    top_score, top_idx = jax.lax.top_k(score, max_adds)
+
+    # Free slots: inactive, lowest indices first.
+    slot_order = jnp.argsort(state.active.astype(jnp.int32), stable=True)
+    free_slots = slot_order[:max_adds]
+    slot_free = ~state.active[free_slots]
+
+    def add_one(st: EkfState, j):
+        fidx = top_idx[j]
+        slot = free_slots[j]
+        do = (top_score[j] > 0) & slot_free[j]
+
+        uv = frame.uv[fidx]
+        xyz = frame.xyz[fidx]
+        rho0 = 1.0 / jnp.maximum(jnp.linalg.norm(xyz), 1e-6)
+        sig_rho = depth_sigma * rho0 * rho0
+
+        cam13 = st.x[:CAM_DIM]
+
+        def y_of(c, uv_, rho_):
+            return inverse_depth_point(cam_model, uv_, c[0:3], c[3:7], rho_)
+
+        y = y_of(cam13, uv, rho0)  # [6]
+        jc = jax.jacfwd(lambda c: y_of(c, uv, rho0))(cam13)  # [6, 13]
+        juv = jax.jacfwd(lambda u: y_of(cam13, u, rho0))(uv)  # [6, 2]
+        jr = jax.jacfwd(lambda rr: y_of(cam13, uv, rr))(rho0)  # [6]
+
+        # covariance augmentation (add_a_feature_covariance_inverse_depth)
+        strip = jc @ st.p[:CAM_DIM, :]  # [6, D]
+        pll = (
+            jc @ st.p[:CAM_DIM, :CAM_DIM] @ jc.T
+            + (std_pxl**2) * (juv @ juv.T)
+            + (sig_rho**2) * jnp.outer(jr, jr)
+        )
+        row0 = CAM_DIM + slot * LM_DIM
+
+        p = st.p
+        p = jax.lax.dynamic_update_slice(p, strip, (row0, 0))
+        p = jax.lax.dynamic_update_slice(p, strip.T, (0, row0))
+        p = jax.lax.dynamic_update_slice(p, pll, (row0, row0))
+        x = jax.lax.dynamic_update_slice(st.x, y, (row0,))
+
+        new = EkfState(
+            x=x, p=p,
+            active=st.active.at[slot].set(True),
+            is_id=st.is_id.at[slot].set(True),
+            desc=st.desc.at[slot].set(frame.desc[fidx]),
+            times_predicted=st.times_predicted.at[slot].set(0),
+            times_measured=st.times_measured.at[slot].set(0),
+            init_frame=st.init_frame.at[slot].set(step),
+            last_visible=st.last_visible.at[slot].set(step),
+        )
+        return jax.tree.map(
+            lambda a, b: jnp.where(do, a, b), new, st
+        )
+
+    for j in range(max_adds):
+        state = add_one(state, j)
+    return state

@@ -1,0 +1,184 @@
+"""The full EKF-SLAM step and sequence driver.
+
+Re-design of the reference main loop (mono_slam.m:113-435):
+
+  per frame k —
+    1. EKF prediction with the VO increment as control (ekf_prediction →
+       predict_state_and_covariance.m; VO = vo/ransac.py instead of the
+       disk-cached Calculate_V_Omega_RANSAC_dr_ye chain)
+    2. measurement prediction + IC matching (search_IC_matches.m)
+    3. 1-point RANSAC li-inlier selection (ransac_hypotheses.m), li update
+       applied to the PRIOR (ekf_update_li_inliers.m:57)
+    4. hi-inlier rescue at the post-li state (rescue_hi_inliers.m:32-33),
+       hi update applied to the POSTERIOR (ekf_update_hi_inliers.m:57-58)
+    5. bookkeeping counters (update_features_info.m)
+    6. map management: delete / convert / add (map_management.m)
+
+Deliberate deviation (SURVEY §7.3): the reference feeds the EKF the VO of
+steps (k−2 → k−1) (fv.m:47 — a one-frame delay); here the current pair's
+VO (k−1 → k) drives the prediction. The whole step is one jitted program;
+sequences run under lax.scan.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from pre3_tpu.ekf.map_management import (
+    add_features, convert_to_cartesian, delete_features,
+)
+from pre3_tpu.ekf.measurement import (
+    Observations, predict_measurements, search_ic_matches,
+)
+from pre3_tpu.ekf.one_point_ransac import one_point_ransac, rescue_hi_inliers
+from pre3_tpu.ekf.prediction import predict
+from pre3_tpu.ekf.state import EkfState, init_state
+from pre3_tpu.ekf.update import kalman_update
+from pre3_tpu.frontend.pipeline import Features
+from pre3_tpu.geometry.camera import Camera
+from pre3_tpu.geometry.quaternion import r2q
+from pre3_tpu.vo.dead_reckoning import vo_pair
+
+
+class SlamConfig(NamedTuple):
+    std_z: float = 1.0  # px measurement noise (mono_slam.m:78)
+    ransac_batch: int = 256  # 1-pt RANSAC hypotheses (ref: ≤1000 adaptive)
+    vo_batch: int = 512  # VO RANSAC hypotheses
+    match_ratio: float = 1.5  # Lowe ratio (siftmatch.c default)
+    max_adds: int = 8
+    min_measured: int = 25  # re-init support target (mono_slam.m:91 uses 50)
+
+
+class StepStats(NamedTuple):
+    """Per-step observability record (the StatData analog, §5 metrics)."""
+
+    n_visible: jnp.ndarray
+    n_ic: jnp.ndarray
+    n_li: jnp.ndarray
+    n_hi: jnp.ndarray
+    n_active: jnp.ndarray
+    vo_ok: jnp.ndarray
+    vo_inliers: jnp.ndarray
+
+
+def slam_step(
+    cam_model: Camera,
+    state: EkfState,
+    frame: Features,
+    prev_frame: Features,
+    step: jnp.ndarray,
+    key: jax.Array,
+    cfg: SlamConfig = SlamConfig(),
+) -> tuple[EkfState, StepStats]:
+    kv, kr = jax.random.split(key)
+
+    # 1. VO control input + prediction
+    vo = vo_pair(prev_frame, frame, kv, batch=cfg.vo_batch)
+    u = jnp.where(
+        vo.ok,
+        jnp.concatenate([vo.delta.t, vo.delta.q]),
+        jnp.array([0.0, 0, 0, 1, 0, 0, 0]),
+    )
+    state = predict(state, u)
+
+    # 2. measurement prediction + matching
+    obs = predict_measurements(cam_model, state, std_z=cfg.std_z)
+    obs, state = search_ic_matches(
+        obs, state, frame, ratio=cfg.match_ratio
+    )
+
+    # 3. 1-point RANSAC + li update (on the prior)
+    li = one_point_ransac(
+        kr, cam_model, state, obs, batch=cfg.ransac_batch, std_z=cfg.std_z
+    )
+    state = kalman_update(state, obs, li, std_z=cfg.std_z)
+
+    # 4. hi rescue + hi update (on the posterior)
+    hi, obs2 = rescue_hi_inliers(cam_model, state, obs, li, std_z=cfg.std_z)
+    state = kalman_update(state, obs2, hi, std_z=cfg.std_z)
+
+    # 5. bookkeeping (update_features_info.m)
+    measured = li | hi
+    state = state._replace(
+        times_predicted=state.times_predicted + obs.visible.astype(jnp.int32),
+        times_measured=state.times_measured + measured.astype(jnp.int32),
+        last_visible=jnp.where(obs.ic, step, state.last_visible),
+    )
+
+    # 6. map management on the posterior
+    state = delete_features(state, step)
+    state = convert_to_cartesian(state)
+    obs_post = predict_measurements(cam_model, state, std_z=cfg.std_z)
+    state = add_features(
+        cam_model, state, frame, obs_post.h, step,
+        n_measured=jnp.sum(measured),
+        max_adds=cfg.max_adds, min_measured=cfg.min_measured,
+        std_pxl=cfg.std_z,
+    )
+
+    stats = StepStats(
+        n_visible=jnp.sum(obs.visible),
+        n_ic=jnp.sum(obs.ic),
+        n_li=jnp.sum(li),
+        n_hi=jnp.sum(hi),
+        n_active=jnp.sum(state.active),
+        vo_ok=vo.ok,
+        vo_inliers=vo.n_inliers,
+    )
+    return state, stats
+
+
+class SlamTrajectory(NamedTuple):
+    t: jnp.ndarray  # [F, 3]
+    q: jnp.ndarray  # [F, 4]
+    stats: StepStats  # leaves have leading axis F-1
+
+
+@partial(jax.jit, static_argnames=("cfg", "n_landmarks"))
+def run_slam(
+    cam_model: Camera,
+    feats: Features,  # stacked, leading axis F
+    key: jax.Array,
+    cfg: SlamConfig = SlamConfig(),
+    n_landmarks: int = 64,
+) -> SlamTrajectory:
+    """Run EKF-SLAM over a stacked feature sequence with lax.scan."""
+    n_frames = feats.uv.shape[0]
+    desc_dim = feats.desc.shape[-1]
+    state0 = init_state(n_landmarks=n_landmarks, desc_dim=desc_dim)
+
+    # Bootstrap the map from frame 0 (initialize_features at step 0).
+    first = jax.tree.map(lambda x: x[0], feats)
+    obs0 = predict_measurements(cam_model, state0, std_z=cfg.std_z)
+    state0 = add_features(
+        cam_model, state0, first, obs0.h, jnp.asarray(0, jnp.int32),
+        n_measured=jnp.asarray(0, jnp.int32),
+        max_adds=cfg.max_adds * 4, min_measured=cfg.min_measured,
+        std_pxl=cfg.std_z,
+    )
+
+    keys = jax.random.split(key, n_frames - 1)
+    steps = jnp.arange(1, n_frames, dtype=jnp.int32)
+    rest = jax.tree.map(lambda x: x[1:], feats)
+    prevs = jax.tree.map(lambda x: x[:-1], feats)
+
+    def body(carry, inp):
+        st = carry
+        k, fr, pfr, i = inp
+        st, stats = slam_step(cam_model, st, fr, pfr, i, k, cfg)
+        return st, (st.x[0:3], st.x[3:7], stats)
+
+    _, (ts, qs, stats) = jax.lax.scan(
+        body, state0, (keys, rest, prevs, steps)
+    )
+    t0 = jnp.zeros((1, 3))
+    q0 = jnp.array([[1.0, 0, 0, 0]])
+    return SlamTrajectory(
+        t=jnp.concatenate([t0, ts]),
+        q=jnp.concatenate([q0, qs]),
+        stats=stats,
+    )

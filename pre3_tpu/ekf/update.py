@@ -1,0 +1,70 @@
+"""EKF update kernels: masked batch Kalman update + quaternion renorm.
+
+Re-design of update.m:27-56 (K = P Hᵀ S⁻¹, symmetrized posterior,
+normJac quaternion renormalization). The reference stacks only the inlier
+measurements (variable-size); here excluded measurements are zero-padded:
+zero H rows and zero innovation with unit R make a measurement exactly
+no-op in the update (K gets zero columns for it), so the full [2K, D]
+system has a static shape.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from pre3_tpu.ekf.state import CAM_DIM, LM_DIM, EkfState
+from pre3_tpu.ekf.measurement import Observations
+from pre3_tpu.geometry.quaternion import qnormalize
+
+
+def assemble_h(obs: Observations, use: jnp.ndarray) -> jnp.ndarray:
+    """Dense stacked H [K·2, D] with rows zeroed outside `use`.
+
+    Landmark j's block column position is static (slot j), so assembly is
+    a set on the [K, 2, K, 6] diagonal — no dynamic scatter.
+    """
+    k = obs.h.shape[0]
+    d = CAM_DIM + k * LM_DIM
+    hc = jnp.where(use[:, None, None], obs.hc, 0.0)  # [K, 2, 13]
+    hl = jnp.where(use[:, None, None], obs.hl, 0.0)  # [K, 2, 6]
+    hlm = jnp.zeros((k, 2, k, LM_DIM))
+    hlm = hlm.at[jnp.arange(k), :, jnp.arange(k), :].set(hl)
+    h = jnp.concatenate([hc, hlm.reshape(k, 2, k * LM_DIM)], axis=-1)
+    return h.reshape(k * 2, d)
+
+
+def kalman_update(
+    state: EkfState,
+    obs: Observations,
+    use: jnp.ndarray,  # [K] bool — which measurements to apply
+    std_z: float = 1.0,
+) -> EkfState:
+    """Batch KF update over the selected measurements (update.m:27-56)."""
+    k = obs.h.shape[0]
+    h = assemble_h(obs, use)  # [2K, D]
+    nu = jnp.where(use[:, None], obs.z - obs.h, 0.0).reshape(-1)  # [2K]
+    r = (std_z**2) * jnp.eye(2 * k)
+    ph_t = state.p @ h.T  # [D, 2K]
+    s = h @ ph_t + r
+    # solve instead of inverse: K = P Hᵀ S⁻¹ → K = (S⁻ᵀ (P Hᵀ)ᵀ)ᵀ
+    kt = jnp.linalg.solve(s, ph_t.T)  # [2K, D]
+    x_new = state.x + kt.T @ nu
+    p_new = state.p - kt.T @ s @ kt
+    p_new = 0.5 * (p_new + p_new.T)
+    x_new, p_new = renormalize_quaternion(x_new, p_new)
+    return state._replace(x=x_new, p=p_new)
+
+
+def renormalize_quaternion(x: jnp.ndarray, p: jnp.ndarray):
+    """Normalize the state quaternion and propagate its Jacobian through P
+    (update.m:43-55 / normJac)."""
+    q = x[3:7]
+    jn = jax.jacfwd(qnormalize)(q)
+    d = x.shape[0]
+    x = x.at[3:7].set(qnormalize(q))
+    # P ← J P Jᵀ with J = I except the q block: apply as strip updates.
+    pq = jn @ p[3:7, :]  # [4, D]
+    p = p.at[3:7, :].set(pq)
+    p = p.at[:, 3:7].set(p[:, 3:7] @ jn.T)
+    return x, p

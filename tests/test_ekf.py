@@ -1,0 +1,266 @@
+"""EKF component tests: prediction, update, map management, 1-pt RANSAC.
+
+Oracles follow the reference's own verification patterns (SURVEY §4):
+finite-difference Jacobian checks (F_Test_dh_dxv.m etc. → autodiff vs
+numeric), covariance-shape invariants, and behavior tests on constructed
+scenarios.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from pre3_tpu.ekf.map_management import (
+    add_features, convert_to_cartesian, delete_features,
+)
+from pre3_tpu.ekf.measurement import (
+    measure_one, predict_measurements, search_ic_matches,
+)
+from pre3_tpu.ekf.one_point_ransac import one_point_ransac
+from pre3_tpu.ekf.prediction import camera_transition, predict
+from pre3_tpu.ekf.state import CAM_DIM, LM_DIM, init_state
+from pre3_tpu.ekf.update import kalman_update
+from pre3_tpu.frontend.pipeline import Features
+from pre3_tpu.geometry.camera import project, sr4000_camera
+from pre3_tpu.geometry.inverse_depth import inverse_depth_to_cartesian
+from pre3_tpu.geometry.quaternion import qrotate
+
+CAM = sr4000_camera()
+
+
+def make_frame_features(uvs, xyzs, n_slots=32, desc_dim=16, seed=0):
+    rng = np.random.default_rng(seed)
+    k = len(uvs)
+    desc = rng.normal(size=(n_slots, desc_dim)).astype(np.float32)
+    desc /= np.linalg.norm(desc, axis=-1, keepdims=True)
+    uv = np.zeros((n_slots, 2), np.float32)
+    xyz = np.zeros((n_slots, 3), np.float32)
+    valid = np.zeros(n_slots, bool)
+    uv[:k] = uvs
+    xyz[:k] = xyzs
+    valid[:k] = True
+    return Features(
+        uv=jnp.asarray(uv), desc=jnp.asarray(desc), xyz=jnp.asarray(xyz),
+        valid=jnp.asarray(valid), score=jnp.asarray(valid, jnp.float32),
+    )
+
+
+def bootstrap_state(n_points=12, n_landmarks=16, seed=3):
+    """State with landmarks added from a synthetic first frame."""
+    rng = np.random.default_rng(seed)
+    pts = np.stack(
+        [rng.uniform(-0.6, 0.6, n_points), rng.uniform(-0.4, 0.4, n_points),
+         rng.uniform(1.5, 3.0, n_points)], axis=-1
+    ).astype(np.float32)
+    uvs = np.asarray(project(CAM, jnp.asarray(pts)))
+    frame = make_frame_features(uvs, pts, n_slots=32, seed=seed)
+    state = init_state(n_landmarks=n_landmarks, desc_dim=frame.desc.shape[-1])
+    obs = predict_measurements(CAM, state)
+    state = add_features(
+        CAM, state, frame, obs.h, jnp.asarray(0, jnp.int32),
+        n_measured=jnp.asarray(0, jnp.int32), max_adds=n_points,
+        min_measured=50,
+    )
+    return state, frame, pts
+
+
+class TestPrediction:
+    def test_transition_moves_pose(self):
+        cam13 = jnp.zeros(13).at[3].set(1.0)
+        u = jnp.array([0.1, 0, 0, 1.0, 0, 0, 0])
+        out = camera_transition(cam13, u)
+        np.testing.assert_allclose(out[0:3], [0.1, 0, 0], atol=1e-6)
+
+    def test_transition_rotates_translation(self):
+        # camera yawed 90°: forward motion in body = +y in world
+        from pre3_tpu.geometry.quaternion import e2q
+
+        q = e2q(jnp.array([0.0, 0.0, np.pi / 2]))
+        cam13 = jnp.zeros(13).at[3:7].set(q)
+        u = jnp.array([0.1, 0, 0, 1.0, 0, 0, 0])
+        out = camera_transition(cam13, u)
+        np.testing.assert_allclose(out[0:3], [0, 0.1, 0], atol=1e-6)
+
+    def test_predict_grows_uncertainty(self):
+        state, _, _ = bootstrap_state()
+        u = jnp.array([0.02, 0, 0.01, 1.0, 0, 0, 0])
+        new = predict(state, u)
+        assert float(jnp.trace(new.p[:3, :3])) > float(
+            jnp.trace(state.p[:3, :3])
+        )
+        # landmark block untouched
+        np.testing.assert_allclose(
+            new.p[CAM_DIM:, CAM_DIM:], state.p[CAM_DIM:, CAM_DIM:], atol=1e-7
+        )
+        # symmetric
+        np.testing.assert_allclose(new.p, new.p.T, atol=1e-7)
+
+
+class TestMeasurement:
+    def test_h_matches_true_projection(self):
+        state, frame, pts = bootstrap_state()
+        obs = predict_measurements(CAM, state)
+        k_active = int(state.active.sum())
+        assert k_active == len(pts)
+        # landmarks were initialized with the true RGB-D depth, so h must
+        # reproject onto the original pixels
+        h = np.asarray(obs.h[:k_active])
+        uv_true = np.asarray(project(CAM, jnp.asarray(pts)))
+        # active slots correspond to candidates ordered by score/top_k;
+        # compare as sets via nearest-neighbor
+        d = np.linalg.norm(h[:, None] - uv_true[None], axis=-1).min(axis=1)
+        assert d.max() < 0.5
+
+    def test_jacobian_matches_finite_difference(self):
+        """The F_Test_dh_dxv.m pattern: autodiff H vs numeric."""
+        state, frame, pts = bootstrap_state()
+        obs = predict_measurements(CAM, state)
+        cam13 = np.asarray(state.x[:CAM_DIM])
+        lm0 = np.asarray(state.landmarks[0])
+        eps = 1e-4
+
+        def h_np(c, l):
+            return np.asarray(
+                measure_one(CAM, jnp.asarray(c), jnp.asarray(l),
+                            state.is_id[0])
+            )
+
+        num = np.zeros((2, CAM_DIM))
+        for i in range(CAM_DIM):
+            dp = cam13.copy()
+            dm = cam13.copy()
+            dp[i] += eps
+            dm[i] -= eps
+            num[:, i] = (h_np(dp, lm0) - h_np(dm, lm0)) / (2 * eps)
+        # float32 finite differences on ∂h values of O(100) carry ~1%
+        # noise; compare with a relative tolerance
+        np.testing.assert_allclose(
+            np.asarray(obs.hc[0]), num, rtol=0.08, atol=0.05
+        )
+
+    def test_matching_sets_ic(self):
+        state, frame, pts = bootstrap_state()
+        obs = predict_measurements(CAM, state)
+        obs, state = search_ic_matches(obs, state, frame)
+        assert int(obs.ic.sum()) >= len(pts) - 2
+        # matched z equals the frame pixel of the same landmark
+        ic = np.asarray(obs.ic)
+        np.testing.assert_allclose(
+            np.asarray(obs.z)[ic], np.asarray(obs.h)[ic], atol=1.0
+        )
+
+
+class TestUpdate:
+    def test_update_reduces_uncertainty(self):
+        state, frame, pts = bootstrap_state()
+        state = predict(state, jnp.array([0.02, 0, 0, 1.0, 0, 0, 0]))
+        obs = predict_measurements(CAM, state)
+        obs, state = search_ic_matches(obs, state, frame)
+        new = kalman_update(state, obs, obs.ic)
+        assert float(jnp.trace(new.p)) < float(jnp.trace(state.p))
+        np.testing.assert_allclose(new.p, new.p.T, atol=1e-6)
+
+    def test_empty_update_is_noop(self):
+        state, frame, pts = bootstrap_state()
+        obs = predict_measurements(CAM, state)
+        none = jnp.zeros_like(obs.ic)
+        new = kalman_update(state, obs, none)
+        np.testing.assert_allclose(new.x, state.x, atol=1e-6)
+        np.testing.assert_allclose(new.p, state.p, atol=1e-6)
+
+    def test_update_corrects_pose_error(self):
+        """Inject a small pose error; measurements must pull it back."""
+        state, frame, pts = bootstrap_state()
+        # wrong prior: shift position, inflate pose covariance
+        x_bad = state.x.at[0:3].add(jnp.array([0.03, -0.02, 0.01]))
+        p_bad = state.p.at[0:3, 0:3].add(0.01 * jnp.eye(3))
+        bad = state._replace(x=x_bad, p=p_bad)
+        obs = predict_measurements(CAM, bad)
+        obs, bad = search_ic_matches(obs, bad, frame)
+        assert int(obs.ic.sum()) > 5
+        new = kalman_update(bad, obs, obs.ic)
+        err_before = float(jnp.linalg.norm(x_bad[0:3]))
+        err_after = float(jnp.linalg.norm(new.x[0:3]))
+        assert err_after < 0.3 * err_before
+
+
+class TestOnePointRansac:
+    def test_outlier_match_excluded(self):
+        state, frame, pts = bootstrap_state()
+        # corrupt one frame feature's position → one bad z
+        uv = np.array(frame.uv)
+        uv[2] += np.array([25.0, -20.0])
+        frame2 = frame._replace(uv=jnp.asarray(uv))
+        x_bad = state.x.at[0:3].add(jnp.array([0.01, 0.0, 0.0]))
+        p_bad = state.p.at[0:3, 0:3].add(0.005 * jnp.eye(3))
+        bad = state._replace(x=x_bad, p=p_bad)
+        obs = predict_measurements(CAM, bad)
+        obs, bad = search_ic_matches(obs, bad, frame2)
+        li = one_point_ransac(jax.random.PRNGKey(0), CAM, bad, obs,
+                              batch=128)
+        # the corrupted measurement must not be an li inlier
+        ic = np.asarray(obs.ic)
+        z = np.asarray(obs.z)
+        h = np.asarray(obs.h)
+        li_np = np.asarray(li)
+        big_resid = np.linalg.norm(z - h, axis=-1) > 10
+        assert not np.any(li_np & big_resid & ic)
+        assert li_np.sum() >= 5
+
+
+class TestMapManagement:
+    def test_delete_zeroes_blocks(self):
+        state, frame, pts = bootstrap_state()
+        # force slot 0 to look bad
+        state = state._replace(
+            times_predicted=state.times_predicted.at[0].set(10),
+            times_measured=state.times_measured.at[0].set(1),
+        )
+        new = delete_features(state, jnp.asarray(5, jnp.int32))
+        assert not bool(new.active[0])
+        r0 = CAM_DIM
+        np.testing.assert_allclose(new.p[r0 : r0 + LM_DIM, :], 0.0)
+        np.testing.assert_allclose(new.x[r0 : r0 + LM_DIM], 0.0)
+        assert bool(new.active[1])
+
+    def test_convert_preserves_point_and_projection(self):
+        state, frame, pts = bootstrap_state()
+        # shrink rho variance → high linearity → conversion fires
+        k = state.n_landmarks
+        rho_idx = CAM_DIM + np.arange(k) * LM_DIM + 5
+        p = np.array(state.p)
+        p[rho_idx, rho_idx] = 1e-10
+        st = state._replace(p=jnp.asarray(p))
+        pts_before = np.asarray(
+            jax.vmap(inverse_depth_to_cartesian)(st.landmarks)
+        )
+        new = convert_to_cartesian(st)
+        conv = np.asarray(state.active & ~new.is_id)
+        assert conv.sum() > 0
+        np.testing.assert_allclose(
+            np.asarray(new.landmarks)[conv, :3], pts_before[conv], atol=1e-4
+        )
+        # projections unchanged by reparameterization
+        obs_b = predict_measurements(CAM, st)
+        obs_a = predict_measurements(CAM, new)
+        np.testing.assert_allclose(
+            np.asarray(obs_a.h)[conv], np.asarray(obs_b.h)[conv], atol=1e-3
+        )
+
+    def test_add_respects_capacity_and_separation(self):
+        state, frame, pts = bootstrap_state()
+        n0 = int(state.active.sum())
+        obs = predict_measurements(CAM, state)
+        # try adding the same frame again: all candidates are at existing
+        # landmark positions → separation gate blocks every add
+        new = add_features(
+            CAM, state, frame, obs.h, jnp.asarray(1, jnp.int32),
+            n_measured=jnp.asarray(0, jnp.int32), max_adds=4,
+            min_measured=50,
+        )
+        assert int(new.active.sum()) == n0
+
+    def test_add_covariance_psd(self):
+        state, _, _ = bootstrap_state()
+        evals = np.linalg.eigvalsh(np.asarray(state.p))
+        assert evals.min() > -1e-6
