@@ -62,16 +62,26 @@ def _norm_jac(q: jnp.ndarray) -> jnp.ndarray:
 
 
 @jax.jit
-def predict(state: EkfState, u: jnp.ndarray) -> EkfState:
+def predict(
+    state: EkfState, u: jnp.ndarray, pn: jnp.ndarray | None = None
+) -> EkfState:
     """One EKF prediction. u = [dX(3), dq(4)] VO increment (identity when
-    VO failed, matching Calculate_V_Omega_RANSAC_dr_ye.m:41-45)."""
+    VO failed, matching Calculate_V_Omega_RANSAC_dr_ye.m:41-45).
+
+    pn: optional [7, 7] control-space noise. Default is the reference's
+    hand-tuned constant; pass the estimated VO covariance
+    (vo/covariance.py, mapped to u-space) for a principled process noise —
+    the improvement the reference left commented out
+    (predict_state_and_covariance.m:104 `Pn = calc_cov_RANSAC_dr_ye`)."""
+    if pn is None:
+        pn = _PN
     cam = state.x[:CAM_DIM]
     f_fn = lambda c: camera_transition(c, u)
     g_fn = lambda uu: camera_transition(cam, uu)
     cam_new = f_fn(cam)
     f = jax.jacfwd(f_fn)(cam)  # [13, 13]
     g = jax.jacfwd(g_fn)(u)  # [13, 7]
-    q_block = g @ _PN @ g.T  # [13, 13]
+    q_block = g @ pn @ g.T  # [13, 13]
 
     p = state.p
     pcc = p[:CAM_DIM, :CAM_DIM]

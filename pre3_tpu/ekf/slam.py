@@ -40,7 +40,7 @@ from pre3_tpu.ekf.state import EkfState, init_state
 from pre3_tpu.ekf.update import kalman_update
 from pre3_tpu.frontend.pipeline import Features
 from pre3_tpu.geometry.camera import Camera
-from pre3_tpu.geometry.quaternion import r2q
+from pre3_tpu.geometry.quaternion import r2q, v2q
 from pre3_tpu.vo.dead_reckoning import vo_pair
 
 
@@ -51,6 +51,11 @@ class SlamConfig(NamedTuple):
     match_ratio: float = 1.5  # Lowe ratio (siftmatch.c default)
     max_adds: int = 8
     min_measured: int = 25  # re-init support target (mono_slam.m:91 uses 50)
+    est_method: str = "1pre"  # "1pre" | "pure_ekf" (EST_METHOD flag:
+    # pure_ekf updates on ALL IC matches at once, ekf_update_all.m:27-62)
+    only_predict: bool = False  # ONLY_PREDICT flag: dead-reckon, no update
+    vo_noise_from_covariance: bool = True  # IFT VO covariance as process
+    # noise (instead of the reference's fixed constant)
 
 
 class StepStats(NamedTuple):
@@ -76,14 +81,32 @@ def slam_step(
 ) -> tuple[EkfState, StepStats]:
     kv, kr = jax.random.split(key)
 
-    # 1. VO control input + prediction
-    vo = vo_pair(prev_frame, frame, kv, batch=cfg.vo_batch)
+    # 1. VO control input + prediction. Process noise = estimated VO
+    # covariance (vo/covariance.py, mapped [dt,dω]→[dX,dq]) plus the
+    # reference's hand-tuned floor — replacing the purely-constant noise
+    # of predict_state_and_covariance.m:98-102 (its commented-out
+    # calc_cov_RANSAC_dr_ye intent, realized).
+    vo = vo_pair(
+        prev_frame, frame, kv, batch=cfg.vo_batch,
+        with_covariance=cfg.vo_noise_from_covariance,
+    )
     u = jnp.where(
         vo.ok,
         jnp.concatenate([vo.delta.t, vo.delta.q]),
         jnp.array([0.0, 0, 0, 1, 0, 0, 0]),
     )
-    state = predict(state, u)
+    if cfg.vo_noise_from_covariance:
+        from pre3_tpu.ekf.prediction import _PN
+        from pre3_tpu.geometry.quaternion import q2v
+
+        jq = jax.jacfwd(v2q)(q2v(vo.delta.q))  # [4, 3] ∂q/∂ω at the fit
+        j = jnp.zeros((7, 6)).at[:3, :3].set(jnp.eye(3)).at[3:, 3:].set(jq)
+        pn = j @ vo.cov @ j.T + _PN  # reference floor (precomputed const)
+        # failed VO: fall back to a large-ish identity-motion uncertainty
+        pn = jnp.where(vo.ok, pn, jnp.eye(7) * 1e-3)
+        state = predict(state, u, pn)
+    else:
+        state = predict(state, u)
 
     # 2. measurement prediction + matching
     obs = predict_measurements(cam_model, state, std_z=cfg.std_z)
@@ -91,15 +114,28 @@ def slam_step(
         obs, state, frame, ratio=cfg.match_ratio
     )
 
-    # 3. 1-point RANSAC + li update (on the prior)
-    li = one_point_ransac(
-        kr, cam_model, state, obs, batch=cfg.ransac_batch, std_z=cfg.std_z
-    )
-    state = kalman_update(state, obs, li, std_z=cfg.std_z)
-
-    # 4. hi rescue + hi update (on the posterior)
-    hi, obs2 = rescue_hi_inliers(cam_model, state, obs, li, std_z=cfg.std_z)
-    state = kalman_update(state, obs2, hi, std_z=cfg.std_z)
+    # 3./4. estimation method dispatch (EST_METHOD, config_file.m:17):
+    if cfg.only_predict:
+        li = jnp.zeros_like(obs.ic)
+        hi = jnp.zeros_like(obs.ic)
+    elif cfg.est_method == "pure_ekf":
+        # PURE_EKF: single update on every IC match (mono_slam.m:199 →
+        # ekf_update_all.m:27-62); no RANSAC gating
+        li = obs.ic
+        hi = jnp.zeros_like(obs.ic)
+        state = kalman_update(state, obs, li, std_z=cfg.std_z)
+    else:
+        # 1PRE: 1-point RANSAC li update on the prior, then hi rescue on
+        # the posterior
+        li = one_point_ransac(
+            kr, cam_model, state, obs, batch=cfg.ransac_batch,
+            std_z=cfg.std_z,
+        )
+        state = kalman_update(state, obs, li, std_z=cfg.std_z)
+        hi, obs2 = rescue_hi_inliers(
+            cam_model, state, obs, li, std_z=cfg.std_z
+        )
+        state = kalman_update(state, obs2, hi, std_z=cfg.std_z)
 
     # 5. bookkeeping (update_features_info.m)
     measured = li | hi

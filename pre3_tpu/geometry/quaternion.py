@@ -119,8 +119,12 @@ def v2q(v: jnp.ndarray) -> jnp.ndarray:
     Taylor-safe near zero so it is differentiable at v = 0.
     """
     angle2 = jnp.sum(v * v, axis=-1, keepdims=True)
-    angle = jnp.sqrt(jnp.maximum(angle2, 1e-24))
     small = angle2 < 1e-12
+    # "double-where": the non-Taylor branch must stay finite (incl. its
+    # higher-order derivatives) even where it is unselected, or autodiff
+    # (e.g. the IFT Hessians in vo/covariance.py) propagates NaNs.
+    angle2_safe = jnp.where(small, 1.0, angle2)
+    angle = jnp.sqrt(angle2_safe)
     # sin(a/2)/a with series fallback: 1/2 - a^2/48
     k = jnp.where(small, 0.5 - angle2 / 48.0, jnp.sin(angle / 2.0) / angle)
     w = jnp.where(small[..., 0], 1.0 - angle2[..., 0] / 8.0,

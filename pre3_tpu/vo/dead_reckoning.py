@@ -34,6 +34,7 @@ class VoStep(NamedTuple):
     ok: jnp.ndarray  # [] bool
     n_inliers: jnp.ndarray  # [] int32
     n_matches: jnp.ndarray  # [] int32
+    cov: jnp.ndarray  # [6, 6] covariance of [dt, dω] (zeros if not computed)
 
 
 def vo_pair(
@@ -43,11 +44,14 @@ def vo_pair(
     batch: int = 1024,
     ratio: float = 1.3,
     min_inliers: int = 8,
+    with_covariance: bool = False,
 ) -> VoStep:
     """Estimate the rigid motion between two feature sets.
 
     Returns T_c1_c2: p_c1 = R·p_c2 + t for a static scene — the pose of
     camera 2 expressed in camera 1 (what pose chaining composes with).
+    With with_covariance=True, also the IFT covariance of the increment
+    (vo/covariance.py) for use as EKF process noise.
     """
     m = match_descriptors(
         f1.desc, f2.desc, valid1=f1.valid, valid2=f2.valid, ratio=ratio
@@ -59,9 +63,17 @@ def vo_pair(
         key, p1, p2, valid, batch=batch, min_inliers=min_inliers
     )
     delta = Pose(t=res.t, q=r2q(res.r))
+    if with_covariance:
+        from pre3_tpu.vo.covariance import vo_covariance
+
+        cov = vo_covariance(
+            res.r, res.t, p1, p2, res.inliers.astype(p1.dtype)
+        )
+    else:
+        cov = jnp.zeros((6, 6), p1.dtype)
     return VoStep(
         delta=delta, ok=res.ok, n_inliers=res.n_inliers,
-        n_matches=jnp.sum(valid),
+        n_matches=jnp.sum(valid), cov=cov,
     )
 
 

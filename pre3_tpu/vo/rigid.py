@@ -19,6 +19,7 @@ from typing import NamedTuple
 import jax.numpy as jnp
 
 from pre3_tpu.geometry.quaternion import q2r
+from pre3_tpu.ops.svd3 import svd3
 
 
 class RigidFit(NamedTuple):
@@ -42,7 +43,7 @@ def _weighted_stats(p, q, w):
 
 def kabsch(
     p: jnp.ndarray, q: jnp.ndarray, w: jnp.ndarray | None = None,
-    cond_eps: float = 1e-6,
+    cond_eps: float = 1e-2,
 ) -> RigidFit:
     """Weighted Kabsch/Arun: least-squares R, t minimizing Σw‖p − (Rq+t)‖².
 
@@ -55,7 +56,9 @@ def kabsch(
     if w is None:
         w = jnp.ones(p.shape[:-1], p.dtype)
     cp, cq, pc, qc, h = _weighted_stats(p, q, w)
-    u, s, vt = jnp.linalg.svd(h)
+    # closed-form 3×3 SVD (ops/svd3.py): jnp.linalg.svd lowers to an
+    # iterative while-loop algorithm that dominates RANSAC runtime on TPU
+    u, s, vt = svd3(h)
     # R = Vᵀᵀ... we need R s.t. pc ≈ R qc: R = (V) diag(1,1,d) (Uᵀ) with
     # H = U S Vᵀ built as qc→pc: R = Vᵀᵀ? Derivation: maximize tr(R H) with
     # H = Σ qc pcᵀ ⇒ R = V D Uᵀ where D fixes the determinant.
@@ -70,7 +73,9 @@ def kabsch(
     rmse = jnp.sqrt(
         jnp.sum(w * jnp.sum(resid * resid, axis=-1), axis=-1) / wsum
     )
-    # Conditioning: need at least rank 2 (two non-tiny singular values)
+    # Conditioning: need at least rank 2 (two non-tiny singular values).
+    # cond_eps matches the f32 accuracy floor of σ₂ computed via AᵀA
+    # (~√eps·σ₁); genuine minimal samples have σ₂/σ₁ well above this.
     ok = (s[..., 1] > cond_eps * jnp.maximum(s[..., 0], 1e-20)) & (
         jnp.sum(w > 0, axis=-1) >= 3
     )

@@ -20,3 +20,7 @@ import jax  # noqa: E402
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_num_cpu_devices", 8)
 jax.config.update("jax_threefry_partitionable", True)
+# The suite is compile-dominated (large jitted SLAM/BA programs): persist
+# compiled executables across runs.
+jax.config.update("jax_compilation_cache_dir", "/tmp/pre3_jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
