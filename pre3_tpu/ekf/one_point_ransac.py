@@ -60,7 +60,15 @@ def one_point_ransac(
         ph_t = pc @ hc.T + pl_all[:, i, :] @ hl.T  # [D, 2]
         s = obs.s[i]  # already includes R
         nu = obs.z[i] - obs.h[i]
-        return ph_t @ jnp.linalg.solve(s, nu)  # [D]
+        # closed-form 2×2 solve (jnp.linalg.solve lowers to a sequential
+        # LU loop on TPU — wasteful for a 2×2)
+        det = s[0, 0] * s[1, 1] - s[0, 1] * s[1, 0]
+        inv_det = 1.0 / jnp.where(jnp.abs(det) < 1e-12, 1e-12, det)
+        x = jnp.array(
+            [s[1, 1] * nu[0] - s[0, 1] * nu[1],
+             -s[1, 0] * nu[0] + s[0, 0] * nu[1]]
+        ) * inv_det
+        return ph_t @ x  # [D]
 
     dx = jax.vmap(delta_for)(hyp_idx)  # [B, D]
     x_hyp = state.x[None] + dx  # [B, D]
@@ -101,8 +109,17 @@ def rescue_hi_inliers(
     obs2 = predict_measurements(cam_model, state, std_z=std_z)
     obs2 = obs2._replace(z=obs.z, ic=obs.ic)
     nu = obs.z - obs2.h  # [K, 2]
-    chi2 = jnp.einsum(
-        "ka,kab,kb->k", nu, jnp.linalg.inv(obs2.s), nu
+    # closed-form batched 2×2 inverse for the χ² forms
+    s00 = obs2.s[:, 0, 0]
+    s01 = obs2.s[:, 0, 1]
+    s10 = obs2.s[:, 1, 0]
+    s11 = obs2.s[:, 1, 1]
+    det = s00 * s11 - s01 * s10
+    inv_det = 1.0 / jnp.where(jnp.abs(det) < 1e-12, 1e-12, det)
+    chi2 = inv_det * (
+        s11 * nu[:, 0] ** 2
+        - (s01 + s10) * nu[:, 0] * nu[:, 1]
+        + s00 * nu[:, 1] ** 2
     )
     hi = obs.ic & (~li) & (chi2 < CHI2_2_95)
     return hi, obs2

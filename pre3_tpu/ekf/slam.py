@@ -145,12 +145,16 @@ def slam_step(
         last_visible=jnp.where(obs.ic, step, state.last_visible),
     )
 
-    # 6. map management on the posterior
+    # 6. map management on the posterior. The separation gate for new
+    # features reuses the last available measurement prediction (exact
+    # posterior h is not needed for a pixel-distance gate) — saves a full
+    # H/S recompute per step.
     state = delete_features(state, step)
     state = convert_to_cartesian(state)
-    obs_post = predict_measurements(cam_model, state, std_z=cfg.std_z)
+    gate_h = obs2.h if (cfg.est_method == "1pre" and
+                        not cfg.only_predict) else obs.h
     state = add_features(
-        cam_model, state, frame, obs_post.h, step,
+        cam_model, state, frame, gate_h, step,
         n_measured=jnp.sum(measured),
         max_adds=cfg.max_adds, min_measured=cfg.min_measured,
         std_pxl=cfg.std_z,

@@ -21,39 +21,39 @@ def _stack(feats):
 
 @pytest.mark.slow
 def test_slam_sift_sequence():
-    frames, traj, scene = render_sequence(n_frames=10, n_points=300,
+    frames, traj, scene = render_sequence(n_frames=8, n_points=300,
                                           noise=0.004)
     feats = _stack([
         extract_features_sift(
             jnp.asarray(f.intensity), jnp.asarray(f.xyz),
-            jnp.asarray(f.confidence),
+            jnp.asarray(f.confidence), keypoints_per_octave=48,
         )
         for f in frames
     ])
-    out = run_slam(CAM, feats, jax.random.PRNGKey(0), n_landmarks=48)
+    out = run_slam(CAM, feats, jax.random.PRNGKey(0), n_landmarks=32)
     gt = (traj.t - traj.t[0]) @ traj.r[0]
     ate = ate_rmse(np.asarray(out.t), gt, align=False)
     assert ate < 0.05, f"SLAM ATE {ate:.3f} m"
     s = out.stats
     assert np.asarray(s.vo_ok).all()
-    assert np.asarray(s.n_li).mean() > 10
+    assert np.asarray(s.n_li).mean() > 8
     # the map stays populated
-    assert int(np.asarray(s.n_active)[-1]) > 20
+    assert int(np.asarray(s.n_active)[-1]) > 15
 
 
 @pytest.mark.slow
 def test_slam_fast_frontend_sequence():
     """BASELINE config #2: FAST frontend + EKF."""
-    frames, traj, scene = render_sequence(n_frames=8, n_points=300,
+    frames, traj, scene = render_sequence(n_frames=7, n_points=300,
                                           noise=0.004)
     feats = _stack([
         extract_features(
             jnp.asarray(f.intensity), jnp.asarray(f.xyz),
-            jnp.asarray(f.confidence), threshold=0.05, max_features=192,
+            jnp.asarray(f.confidence), threshold=0.05, max_features=128,
         )
         for f in frames
     ])
-    out = run_slam(CAM, feats, jax.random.PRNGKey(1), n_landmarks=48,
+    out = run_slam(CAM, feats, jax.random.PRNGKey(1), n_landmarks=32,
                    cfg=SlamConfig(match_ratio=1.3))
     gt = (traj.t - traj.t[0]) @ traj.r[0]
     ate = ate_rmse(np.asarray(out.t), gt, align=False)
