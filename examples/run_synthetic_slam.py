@@ -66,19 +66,27 @@ def main(out_dir: str = "/tmp/pre3_demo", n_frames: int = 32):
         f"RPE {rpe_translation(np.asarray(out.t), gt):.4f} m"
     )
 
-    # config #4: keyframes + BA
+    # config #4: keyframes + BA on the filter-vetted observation records
+    from pre3_tpu.backend.ekf_ba import ba_problem_from_slam
+
     ks = select_keyframes(out.t, out.q, jnp.ones(n_frames, bool),
                           max_keyframes=10)
     idx = ks.indices
-    kf_feats = jax.tree.map(lambda x: x[idx], feats)
-    prob = make_ba_problem_from_tracks(
-        kf_feats, out.t[idx], out.q[idx], ks.valid, max_tracks=256
-    )
-    res = bundle_adjust(cam, prob, iters=8)
+    prob = ba_problem_from_slam(out, np.asarray(idx), np.asarray(ks.valid))
+    res = bundle_adjust(cam, prob, iters=10)
     print(
         f"BA: {int(ks.n)} keyframes, cost "
         f"{float(res.cost[0]):.3f} -> {float(res.cost[-1]):.3f}"
     )
+
+    # propagate keyframe corrections to every frame
+    from pre3_tpu.backend.smoothing import apply_ba_corrections
+
+    sm_t, sm_q = apply_ba_corrections(
+        out.t, out.q, idx, ks.valid, res.kf_t, res.kf_q
+    )
+    sm_ate = ate_rmse(np.asarray(sm_t), gt, align=False)
+    print(f"smoothed full-trajectory ATE: {sm_ate:.4f} m")
 
     plot_trajectory(f"{out_dir}/trajectory.png", np.asarray(out.t), gt,
                     title=f"EKF-SLAM (ATE {slam_ate:.3f} m)")

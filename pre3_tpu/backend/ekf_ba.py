@@ -1,0 +1,113 @@
+"""Bridge: EKF-SLAM inlier records → keyframe bundle-adjustment problem.
+
+The front filter curates observations per frame (1-point RANSAC + χ²
+rescue); those filter-vetted measurements are strictly better BA input
+than re-matching keyframes from scratch (backend/tracks.py — kept for the
+filter-free offline pipeline). This module assembles a BaProblem from the
+StepRecord stream a run_slam scan emits:
+
+  landmark identity = (slot, init_frame)  — slots are reused after
+  deletion, so the init_frame stamp disambiguates physical landmarks
+  (the same bookkeeping the reference keeps in features_info.init_frame,
+  add_feature_to_info_vector_my_version_sift.m:45-80).
+
+Host-side numpy assembly (offline backend step, shape depends on data).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from pre3_tpu.backend.ba import BaProblem
+
+
+def ba_problem_from_slam(
+    traj,  # SlamTrajectory (t, q, records with leading axis F-1)
+    kf_indices: np.ndarray,  # [M] frame indices (keyframes)
+    kf_valid: np.ndarray,  # [M]
+    min_obs: int = 2,
+    max_landmarks: int | None = None,
+) -> BaProblem | None:
+    """Build the masked BA tensors from recorded inlier observations.
+
+    Records exist for frames 1..F-1 (frame 0 has no step); a keyframe at
+    frame 0 contributes no observations but anchors the gauge. Returns
+    None when no landmark is observed in ≥ min_obs keyframes."""
+    import jax.numpy as jnp
+
+    from pre3_tpu.geometry.quaternion import qrotate
+
+    z = np.asarray(traj.records.z)  # [F-1, K, 2]
+    z_xyz = np.asarray(traj.records.z_xyz)  # [F-1, K, 3]
+    measured = np.asarray(traj.records.measured)  # [F-1, K]
+    init_frame = np.asarray(traj.records.init_frame)  # [F-1, K]
+    t_all = np.asarray(traj.t)
+    q_all = np.asarray(traj.q)
+
+    kf_indices = np.asarray(kf_indices)
+    kf_valid = np.asarray(kf_valid)
+    m = len(kf_indices)
+    k = z.shape[1]
+
+    # collect landmark ids observed at keyframes
+    ids: dict[tuple[int, int], int] = {}
+    obs_list: list[tuple[int, int, np.ndarray, np.ndarray]] = []
+    for mi, f in enumerate(kf_indices):
+        if not kf_valid[mi] or f == 0:
+            continue
+        r = f - 1  # record row for frame f
+        for slot in np.nonzero(measured[r])[0]:
+            lid = (int(slot), int(init_frame[r, slot]))
+            if lid not in ids:
+                ids[lid] = len(ids)
+            obs_list.append((mi, ids[lid], z[r, slot], z_xyz[r, slot]))
+
+    if not ids:
+        return None
+    counts = np.zeros(len(ids), int)
+    for mi, li, _, _ in obs_list:
+        counts[li] += 1
+    keep = counts >= min_obs
+    if max_landmarks is not None and keep.sum() > max_landmarks:
+        order = np.argsort(-counts)
+        sel = np.zeros_like(keep)
+        sel[order[:max_landmarks]] = True
+        keep &= sel
+    remap = -np.ones(len(ids), int)
+    remap[keep] = np.arange(keep.sum())
+    l = int(keep.sum())
+    if l == 0:
+        return None
+
+    obs_uv = np.zeros((m, l, 2), np.float32)
+    obs_xyz = np.zeros((m, l, 3), np.float32)
+    mask = np.zeros((m, l), bool)
+    # landmark world init from the first depth observation
+    points = np.zeros((l, 3), np.float32)
+    have_init = np.zeros(l, bool)
+    for mi, li, uv, xyz in obs_list:
+        li2 = remap[li]
+        if li2 < 0:
+            continue
+        obs_uv[mi, li2] = uv
+        obs_xyz[mi, li2] = xyz
+        mask[mi, li2] = True
+        if not have_init[li2] and np.linalg.norm(xyz) > 0.2:
+            f = kf_indices[mi]
+            p_w = np.asarray(
+                qrotate(jnp.asarray(q_all[f]), jnp.asarray(xyz))
+            ) + t_all[f]
+            points[li2] = p_w
+            have_init[li2] = True
+
+    mask &= have_init[None]
+    has_depth = np.linalg.norm(obs_xyz, axis=-1) > 0.2
+    return BaProblem(
+        obs_uv=jnp.asarray(obs_uv),
+        mask=jnp.asarray(mask),
+        kf_t=jnp.asarray(t_all[kf_indices]),
+        kf_q=jnp.asarray(q_all[kf_indices]),
+        points=jnp.asarray(points),
+        obs_xyz=jnp.asarray(obs_xyz),
+        mask_xyz=jnp.asarray(mask & has_depth),
+    )

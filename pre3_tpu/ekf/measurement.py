@@ -43,6 +43,8 @@ class Observations(NamedTuple):
     visible: jnp.ndarray  # [K] bool — predicted in image
     z: jnp.ndarray  # [K, 2] matched measurement (0 where unmatched)
     ic: jnp.ndarray  # [K] bool — individually compatible (matched)
+    z_xyz: jnp.ndarray  # [K, 3] camera-frame depth of the matched feature
+    # (not used by the EKF update — recorded for the BA backend)
 
 
 def measure_one(
@@ -134,7 +136,7 @@ def predict_measurements(
     kz = jnp.zeros((k, 2))
     return Observations(
         h=h, hc=hc, hl=hl, s=s, visible=visible, z=kz,
-        ic=jnp.zeros((k,), bool),
+        ic=jnp.zeros((k,), bool), z_xyz=jnp.zeros((k, 3)),
     )
 
 
@@ -164,7 +166,8 @@ def search_ic_matches(
     dist = jnp.linalg.norm(z - obs.h, axis=-1)
     ic = m.accepted & obs.visible & (dist <= gate)
     new_desc = jnp.where(ic[:, None], frame.desc[m.index], state.desc)
+    z_xyz = jnp.where(ic[:, None], frame.xyz[m.index], 0.0)
     return (
-        obs._replace(z=jnp.where(ic[:, None], z, 0.0), ic=ic),
+        obs._replace(z=jnp.where(ic[:, None], z, 0.0), ic=ic, z_xyz=z_xyz),
         state._replace(desc=new_desc),
     )

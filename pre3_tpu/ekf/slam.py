@@ -70,6 +70,17 @@ class StepStats(NamedTuple):
     vo_inliers: jnp.ndarray
 
 
+class StepRecord(NamedTuple):
+    """Per-step inlier observations, recorded for the BA backend: the
+    filter-vetted measurements (z, depth) of each landmark slot, plus the
+    slot's init_frame to disambiguate slot reuse after deletion."""
+
+    z: jnp.ndarray  # [K, 2]
+    z_xyz: jnp.ndarray  # [K, 3]
+    measured: jnp.ndarray  # [K] bool — li | hi inlier this step
+    init_frame: jnp.ndarray  # [K] int32
+
+
 def slam_step(
     cam_model: Camera,
     state: EkfState,
@@ -169,13 +180,18 @@ def slam_step(
         vo_ok=vo.ok,
         vo_inliers=vo.n_inliers,
     )
-    return state, stats
+    record = StepRecord(
+        z=obs.z, z_xyz=obs.z_xyz, measured=measured,
+        init_frame=state.init_frame,
+    )
+    return state, (stats, record)
 
 
 class SlamTrajectory(NamedTuple):
     t: jnp.ndarray  # [F, 3]
     q: jnp.ndarray  # [F, 4]
     stats: StepStats  # leaves have leading axis F-1
+    records: StepRecord  # leaves have leading axis F-1 (BA backend input)
 
 
 @partial(jax.jit, static_argnames=("cfg", "n_landmarks"))
@@ -209,10 +225,10 @@ def run_slam(
     def body(carry, inp):
         st = carry
         k, fr, pfr, i = inp
-        st, stats = slam_step(cam_model, st, fr, pfr, i, k, cfg)
-        return st, (st.x[0:3], st.x[3:7], stats)
+        st, (stats, record) = slam_step(cam_model, st, fr, pfr, i, k, cfg)
+        return st, (st.x[0:3], st.x[3:7], stats, record)
 
-    _, (ts, qs, stats) = jax.lax.scan(
+    _, (ts, qs, stats, records) = jax.lax.scan(
         body, state0, (keys, rest, prevs, steps)
     )
     t0 = jnp.zeros((1, 3))
@@ -221,4 +237,5 @@ def run_slam(
         t=jnp.concatenate([t0, ts]),
         q=jnp.concatenate([q0, qs]),
         stats=stats,
+        records=records,
     )
