@@ -144,6 +144,7 @@ def add_features(
     min_separation_px: float = 10.0,
     std_pxl: float = 1.0,
     depth_sigma: float = 0.01,
+    image: jnp.ndarray | None = None,
 ) -> EkfState:
     """Initialize up to `max_adds` new inverse-depth landmarks from
     depth-valid, well-separated frame features when tracking support is
@@ -168,6 +169,18 @@ def add_features(
     slot_order = jnp.argsort(state.active.astype(jnp.int32), stable=True)
     free_slots = slot_order[:max_adds]
     slot_free = ~state.active[free_slots]
+
+    # Init-appearance record for the NCC matcher (patch_when_initialized;
+    # zero when no image is supplied — descriptor-matching mode).
+    if image is not None:
+        from pre3_tpu.frontend.patch_warp import extract_raw_patches
+
+        pb = state.init_patch.shape[-1]
+        cand_patches = extract_raw_patches(
+            image, frame.uv[top_idx], size=pb
+        )  # [max_adds, PB, PB]
+    else:
+        cand_patches = None
 
     def add_one(st: EkfState, j):
         fidx = top_idx[j]
@@ -204,7 +217,7 @@ def add_features(
         p = jax.lax.dynamic_update_slice(p, pll, (row0, row0))
         x = jax.lax.dynamic_update_slice(st.x, y, (row0,))
 
-        new = EkfState(
+        new = st._replace(
             x=x, p=p,
             active=st.active.at[slot].set(True),
             is_id=st.is_id.at[slot].set(True),
@@ -213,7 +226,13 @@ def add_features(
             times_measured=st.times_measured.at[slot].set(0),
             init_frame=st.init_frame.at[slot].set(step),
             last_visible=st.last_visible.at[slot].set(step),
+            init_uv=st.init_uv.at[slot].set(uv),
+            init_cam=st.init_cam.at[slot].set(cam13[0:7]),
         )
+        if cand_patches is not None:
+            new = new._replace(
+                init_patch=new.init_patch.at[slot].set(cand_patches[j])
+            )
         return jax.tree.map(
             lambda a, b: jnp.where(do, a, b), new, st
         )

@@ -53,6 +53,10 @@ class SlamConfig(NamedTuple):
     min_measured: int = 25  # re-init support target (mono_slam.m:91 uses 50)
     est_method: str = "1pre"  # "1pre" | "pure_ekf" (EST_METHOD flag:
     # pure_ekf updates on ALL IC matches at once, ekf_update_all.m:27-62)
+    matcher: str = "desc"  # "desc" (search_IC_matches + siftmatch path) |
+    # "ncc_warp" (warped-patch correlation scan, matching.m — requires
+    # the intensity image per frame, FEATURE_EXTRACTOR='FAST' analog)
+    ncc_threshold: float = 0.60  # matching.m:31 correlation gate
     only_predict: bool = False  # ONLY_PREDICT flag: dead-reckon, no update
     vo_noise_from_covariance: bool = True  # IFT VO covariance as process
     # noise (instead of the reference's fixed constant)
@@ -89,6 +93,8 @@ def slam_step(
     step: jnp.ndarray,
     key: jax.Array,
     cfg: SlamConfig = SlamConfig(),
+    image: jnp.ndarray | None = None,  # [H, W] — required for ncc_warp
+    xyz_img: jnp.ndarray | None = None,  # [H, W, 3]
 ) -> tuple[EkfState, StepStats]:
     kv, kr = jax.random.split(key)
 
@@ -119,11 +125,22 @@ def slam_step(
     else:
         state = predict(state, u)
 
-    # 2. measurement prediction + matching
+    # 2. measurement prediction + matching (descriptor path, or the
+    # warped-patch correlation scan of matching.m when matcher=ncc_warp)
     obs = predict_measurements(cam_model, state, std_z=cfg.std_z)
-    obs, state = search_ic_matches(
-        obs, state, frame, ratio=cfg.match_ratio
-    )
+    if cfg.matcher == "ncc_warp":
+        if image is None:
+            raise ValueError("matcher='ncc_warp' needs the intensity image")
+        from pre3_tpu.ekf.ncc_matching import search_ic_matches_ncc
+
+        obs = search_ic_matches_ncc(
+            cam_model, obs, state, image, xyz_img=xyz_img,
+            ncc_threshold=cfg.ncc_threshold,
+        )
+    else:
+        obs, state = search_ic_matches(
+            obs, state, frame, ratio=cfg.match_ratio
+        )
 
     # 3./4. estimation method dispatch (EST_METHOD, config_file.m:17):
     if cfg.only_predict:
@@ -135,6 +152,16 @@ def slam_step(
         li = obs.ic
         hi = jnp.zeros_like(obs.ic)
         state = kalman_update(state, obs, li, std_z=cfg.std_z)
+    elif cfg.est_method == "iekf":
+        # Iterated EKF on all IC matches — the working realization of the
+        # reference's dead ekf_update_iterated.m path (update.py docstring)
+        from pre3_tpu.ekf.update import iterated_kalman_update
+
+        li = obs.ic
+        hi = jnp.zeros_like(obs.ic)
+        state = iterated_kalman_update(
+            cam_model, state, obs.z, li, std_z=cfg.std_z
+        )
     else:
         # 1PRE: 1-point RANSAC li update on the prior, then hi rescue on
         # the posterior
@@ -168,7 +195,7 @@ def slam_step(
         cam_model, state, frame, gate_h, step,
         n_measured=jnp.sum(measured),
         max_adds=cfg.max_adds, min_measured=cfg.min_measured,
-        std_pxl=cfg.std_z,
+        std_pxl=cfg.std_z, image=image,
     )
 
     stats = StepStats(
@@ -201,6 +228,8 @@ def run_slam(
     key: jax.Array,
     cfg: SlamConfig = SlamConfig(),
     n_landmarks: int = 64,
+    images: jnp.ndarray | None = None,  # [F, H, W], matcher='ncc_warp'
+    xyz_imgs: jnp.ndarray | None = None,  # [F, H, W, 3]
 ) -> SlamTrajectory:
     """Run EKF-SLAM over a stacked feature sequence with lax.scan."""
     n_frames = feats.uv.shape[0]
@@ -215,21 +244,37 @@ def run_slam(
         n_measured=jnp.asarray(0, jnp.int32),
         max_adds=cfg.max_adds * 4, min_measured=cfg.min_measured,
         std_pxl=cfg.std_z,
+        image=None if images is None else images[0],
     )
 
     keys = jax.random.split(key, n_frames - 1)
     steps = jnp.arange(1, n_frames, dtype=jnp.int32)
     rest = jax.tree.map(lambda x: x[1:], feats)
     prevs = jax.tree.map(lambda x: x[:-1], feats)
+    imgs = None if images is None else images[1:]
+    xyzs = None if xyz_imgs is None else xyz_imgs[1:]
 
     def body(carry, inp):
         st = carry
-        k, fr, pfr, i = inp
-        st, (stats, record) = slam_step(cam_model, st, fr, pfr, i, k, cfg)
+        k, fr, pfr, i, img, xz = inp
+        st, (stats, record) = slam_step(
+            cam_model, st, fr, pfr, i, k, cfg, image=img, xyz_img=xz
+        )
         return st, (st.x[0:3], st.x[3:7], stats, record)
 
+    # None scan inputs ride along as broadcast leaves (is_leaf trick not
+    # needed: wrap in per-step tuples only when present).
+    none_seq = jnp.zeros((n_frames - 1, 0)) if imgs is None else imgs
+    none_xyz = jnp.zeros((n_frames - 1, 0)) if xyzs is None else xyzs
+
+    def body_wrap(carry, inp):
+        k, fr, pfr, i, img, xz = inp
+        img = None if images is None else img
+        xz = None if xyz_imgs is None else xz
+        return body(carry, (k, fr, pfr, i, img, xz))
+
     _, (ts, qs, stats, records) = jax.lax.scan(
-        body, state0, (keys, rest, prevs, steps)
+        body_wrap, state0, (keys, rest, prevs, steps, none_seq, none_xyz)
     )
     t0 = jnp.zeros((1, 3))
     q0 = jnp.array([[1.0, 0, 0, 0]])

@@ -38,6 +38,13 @@ class EkfState(NamedTuple):
     times_measured: jnp.ndarray  # [K] int32
     init_frame: jnp.ndarray  # [K] int32
     last_visible: jnp.ndarray  # [K] int32
+    # Init-appearance record for warped-patch NCC matching (the reference
+    # feature record's patch_when_initialized + r_wc/R_wc when initialized,
+    # add_feature_to_info_vector_my_version_sift.m:45-80). Zero-filled and
+    # unused in descriptor-matching mode.
+    init_patch: jnp.ndarray  # [K, PB, PB] raw intensity patch at init
+    init_uv: jnp.ndarray  # [K, 2] pixel at init
+    init_cam: jnp.ndarray  # [K, 7] (t_w, q_wc) camera pose at init
 
     @property
     def n_landmarks(self) -> int:
@@ -67,6 +74,7 @@ def init_state(
     q0: jnp.ndarray | None = None,
     std_v0: float = 0.025,
     std_w0: float = 0.025,
+    patch_big: int = 21,
     dtype=jnp.float32,
 ) -> EkfState:
     """x₀/P₀ per initialize_x_and_p.m:27-55: zero pose (optionally a
@@ -94,4 +102,7 @@ def init_state(
         desc=jnp.zeros((k, desc_dim), dtype),
         times_predicted=zi, times_measured=zi, init_frame=zi,
         last_visible=zi,
+        init_patch=jnp.zeros((k, patch_big, patch_big), dtype),
+        init_uv=jnp.zeros((k, 2), dtype),
+        init_cam=jnp.zeros((k, 7), dtype),
     )

@@ -56,6 +56,72 @@ def kalman_update(
     return state._replace(x=x_new, p=p_new)
 
 
+def heading_update(
+    state: EkfState,
+    z_heading: jnp.ndarray,  # [] observed yaw, radians
+    std_heading: float = 0.0349,  # ≈2° (ekf_heading_update.m noise)
+) -> EkfState:
+    """Scalar heading (yaw) observation update.
+
+    The reference's (optional) compass/plane-fit heading correction
+    (@ekf_filter/ekf_heading_update.m:26-52 + aux_code/
+    observe_heading_func.m / observe_heading_jac.m — symbolic h and H
+    there, autodiff here). Innovation is angle-wrapped to (−π, π].
+    """
+    from pre3_tpu.geometry.quaternion import q2e
+
+    def h_of(x):
+        return q2e(x[3:7])[2]
+
+    h = h_of(state.x)
+    hrow = jax.grad(h_of)(state.x)[None, :]  # [1, D]
+    nu = jnp.mod(z_heading - h + jnp.pi, 2 * jnp.pi) - jnp.pi
+    s = (hrow @ state.p @ hrow.T)[0, 0] + std_heading**2
+    kgain = (state.p @ hrow.T)[:, 0] / s  # [D]
+    x_new = state.x + kgain * nu
+    p_new = state.p - s * jnp.outer(kgain, kgain)
+    p_new = 0.5 * (p_new + p_new.T)
+    x_new, p_new = renormalize_quaternion(x_new, p_new)
+    return state._replace(x=x_new, p=p_new)
+
+
+def iterated_kalman_update(
+    cam_model,
+    state: EkfState,
+    z: jnp.ndarray,  # [K, 2] measurements
+    use: jnp.ndarray,  # [K] bool
+    n_iters: int = 3,
+    std_z: float = 1.0,
+) -> EkfState:
+    """Iterated EKF update: re-linearize h/H at the running posterior mean.
+
+    The reference declares this path but never implemented it
+    (@ekf_filter/ekf_update_iterated.m:27-29 calls a nonexistent
+    `update_iterated` — dead code); this is the working realization.
+    Classic IEKF: x_{j+1} = x̂ + K_j (ν_j − H_j (x̂ − x_j)), covariance
+    from the final linearization.
+    """
+    from pre3_tpu.ekf.measurement import predict_measurements
+
+    x_prior, p_prior = state.x, state.p
+    st_j = state
+    for _ in range(n_iters):
+        obs_j = predict_measurements(cam_model, st_j, std_z=std_z)
+        h = assemble_h(obs_j, use)  # [2K, D]
+        nu = jnp.where(use[:, None], z - obs_j.h, 0.0).reshape(-1)
+        k2 = h.shape[0]
+        r = (std_z**2) * jnp.eye(k2)
+        ph_t = p_prior @ h.T
+        s = h @ ph_t + r
+        kt = jnp.linalg.solve(s, ph_t.T)  # [2K, D]
+        dx = kt.T @ (nu - h @ (x_prior - st_j.x))
+        st_j = st_j._replace(x=x_prior + dx)
+    p_new = p_prior - kt.T @ s @ kt
+    p_new = 0.5 * (p_new + p_new.T)
+    x_new, p_new = renormalize_quaternion(st_j.x, p_new)
+    return state._replace(x=x_new, p=p_new)
+
+
 def renormalize_quaternion(x: jnp.ndarray, p: jnp.ndarray):
     """Normalize the state quaternion and propagate its Jacobian through P
     (update.m:43-55 / normJac)."""

@@ -91,6 +91,37 @@ def plot_slam_stats(path: str, stats, title: str = "per-step stats") -> None:
     plt.close(fig)
 
 
+def plot_feature_performance(path: str, perf,
+                             title: str = "feature performance") -> None:
+    """Per-landmark tracking statistics dashboard — the
+    plot_feature_performacne.m / FeaturePerformance dumps analog
+    (mono_slam.m:290-313). Takes a utils.replay.FeaturePerformance."""
+    plt = _mpl()
+    fig, axes = plt.subplots(1, 3, figsize=(13, 4))
+    ax = axes[0]
+    ax.scatter(perf.times_predicted, perf.times_measured, s=14)
+    lim = max(1, int(np.max(perf.times_predicted, initial=1)))
+    ax.plot([0, lim], [0, lim], "k--", lw=0.8)
+    ax.plot([0, lim], [0, 0.5 * lim], "r--", lw=0.8, label="deletion gate")
+    ax.set_xlabel("times predicted")
+    ax.set_ylabel("times measured")
+    ax.legend()
+    ax.set_title("tracking support")
+    ax = axes[1]
+    ax.hist(perf.track_ratio, bins=20, range=(0, 1.05))
+    ax.set_xlabel("measured / predicted")
+    ax.set_title("track ratio")
+    ax = axes[2]
+    ax.hist(perf.age, bins=20)
+    ax.set_xlabel("age [frames]")
+    ax.set_title("landmark age")
+    fig.suptitle(title)
+    fig.tight_layout()
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    fig.savefig(path, dpi=110)
+    plt.close(fig)
+
+
 def export_ply(path: str, points: np.ndarray,
                colors: np.ndarray | None = None) -> None:
     """Write a point cloud as ASCII PLY (viewable in any standard tool —

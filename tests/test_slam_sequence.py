@@ -58,3 +58,34 @@ def test_slam_fast_frontend_sequence():
     gt = (traj.t - traj.t[0]) @ traj.r[0]
     ate = ate_rmse(np.asarray(out.t), gt, align=False)
     assert ate < 0.05, f"SLAM(FAST) ATE {ate:.3f} m"
+
+
+@pytest.mark.slow
+def test_slam_ncc_warp_matcher_sequence():
+    """Config #2 with the warped-patch NCC measurement path
+    (matching.m / pred_patch_fc.m analog, ekf/ncc_matching.py): the map is
+    matched by correlating warped init patches against the raw image —
+    no descriptor refresh, FEATURE_EXTRACTOR='FAST' mode of the reference."""
+    frames, traj, scene = render_sequence(n_frames=7, n_points=300,
+                                          noise=0.004)
+    feats = _stack([
+        extract_features(
+            jnp.asarray(f.intensity), jnp.asarray(f.xyz),
+            jnp.asarray(f.confidence), threshold=0.05, max_features=128,
+        )
+        for f in frames
+    ])
+    images = jnp.stack([jnp.asarray(f.intensity) for f in frames])
+    xyz_imgs = jnp.stack(
+        [jnp.asarray(np.nan_to_num(f.xyz)) for f in frames]
+    )
+    out = run_slam(
+        CAM, feats, jax.random.PRNGKey(2), n_landmarks=32,
+        cfg=SlamConfig(matcher="ncc_warp"),
+        images=images, xyz_imgs=xyz_imgs,
+    )
+    gt = (traj.t - traj.t[0]) @ traj.r[0]
+    ate = ate_rmse(np.asarray(out.t), gt, align=False)
+    assert ate < 0.08, f"SLAM(NCC) ATE {ate:.3f} m"
+    s = out.stats
+    assert np.asarray(s.n_li).mean() > 5
