@@ -11,6 +11,7 @@ capacity).
 
 from __future__ import annotations
 
+import os
 from typing import NamedTuple
 
 import jax
@@ -79,3 +80,119 @@ def select_keyframes(
         indices=indices, valid=jnp.sort(valid)[::-1],
         n=jnp.sum(accepted).astype(jnp.int32),
     )
+
+
+# ---------------------------------------------------------------------------
+# Offline keyframing driver (the full SR4000_key_frame_selection.m pass)
+# ---------------------------------------------------------------------------
+
+
+class OfflineKeyframes(NamedTuple):
+    """Result of the offline pass: accepted frame indices plus the VO
+    increment of each accepted keyframe relative to the PREVIOUS keyframe
+    (what the reference saves per accepted frame at :102-110)."""
+
+    indices: np.ndarray  # [M] int
+    delta_t: np.ndarray  # [M, 3] (zeros for the first keyframe)
+    delta_q: np.ndarray  # [M, 4]
+    n_vo_calls: int
+
+
+def find_keyframes_vo(
+    feats,  # Features pytree stacked over frames: leaves [F, ...]
+    key,
+    rot_thresh_deg: float = ROT_THRESH_DEG,
+    trans_thresh_m: float = TRANS_THRESH_M,
+    vo_cache=None,
+    batch: int = 1024,
+    min_inliers: int = 8,
+) -> OfflineKeyframes:
+    """Offline keyframe search, reference semantics: each candidate frame's
+    VO is computed AGAINST THE LAST ACCEPTED KEYFRAME (find_the_key_frame,
+    SR4000_key_frame_selection.m:72), not chained frame-to-frame, and the
+    frame is accepted when a_rot ≥ 4° or ‖T‖ ≥ 0.05 m with a valid
+    solution (:102). Invalid-VO frames are skipped (:75-81). A host loop
+    over a jitted pair-VO kernel (offline pass; the online analog is
+    select_keyframes above). `vo_cache` is a utils.cache.VoCache for
+    resumable passes (the reference's RANSAC5_step_%d_%d.mat cache)."""
+    import jax as _jax
+
+    from pre3_tpu.vo.dead_reckoning import vo_pair
+
+    n_frames = int(jax.tree.leaves(feats)[0].shape[0])
+    rot_thresh = float(np.radians(rot_thresh_deg))
+    pair = _jax.jit(lambda f1, f2, k: vo_pair(
+        f1, f2, k, batch=batch, min_inliers=min_inliers
+    ))
+    frame = lambda i: jax.tree.map(lambda x: x[i], feats)
+
+    last = 0
+    indices = [0]
+    deltas_t = [np.zeros(3, np.float32)]
+    deltas_q = [np.array([1.0, 0, 0, 0], np.float32)]
+    n_calls = 0
+    for i in range(1, n_frames):
+        key, sub = _jax.random.split(key)
+        compute = lambda: pair(frame(last), frame(i), sub)
+        step = (vo_cache.get(last, i, compute) if vo_cache is not None
+                else compute())
+        n_calls += 1
+        if not bool(step.ok):
+            continue  # skip frames whose VO fails (:75-81)
+        ang = float(jnp.linalg.norm(q2v(step.delta.q)))
+        dist = float(jnp.linalg.norm(step.delta.t))
+        if ang >= rot_thresh or dist >= trans_thresh_m:
+            indices.append(i)
+            deltas_t.append(np.asarray(step.delta.t))
+            deltas_q.append(np.asarray(step.delta.q))
+            last = i
+    return OfflineKeyframes(
+        indices=np.asarray(indices, np.int64),
+        delta_t=np.stack(deltas_t), delta_q=np.stack(deltas_q),
+        n_vo_calls=n_calls,
+    )
+
+
+def export_keyframe_dataset(
+    indices,
+    out_dir: str,
+    src_dir: str | None = None,
+    feats=None,
+    deltas: OfflineKeyframes | None = None,
+) -> str:
+    """Write the keyframe mirror dataset (the reference's renumber-and-copy
+    into KeyFrames/, SR4000_key_frame_selection.m:112-143): accepted raw
+    `d1_*.dat` frames from `src_dir` are copied as `d1_%04d.dat` with NEW
+    consecutive numbering, per-keyframe features (if given, stacked over
+    frames) are saved as npz, and `manifest.json` records the new→original
+    index map plus inter-keyframe VO increments. Returns out_dir."""
+    import json
+    import shutil
+
+    os.makedirs(out_dir, exist_ok=True)
+    indices = [int(i) for i in indices]
+    if src_dir is not None:
+        from pre3_tpu.data.sr4000 import list_sequence
+
+        paths = list_sequence(src_dir)
+        for new, orig in enumerate(indices):
+            shutil.copyfile(
+                paths[orig], os.path.join(out_dir, f"d1_{new + 1:04d}.dat")
+            )
+    if feats is not None:
+        for new, orig in enumerate(indices):
+            kf = jax.tree.map(lambda x: np.asarray(x[orig]), feats)
+            with open(os.path.join(
+                    out_dir, f"features_{new + 1:04d}.npz"), "wb") as f:
+                np.savez(f, **{k: getattr(kf, k) for k in kf._fields})
+    manifest = {
+        "original_indices": indices,
+        "rot_thresh_deg": ROT_THRESH_DEG,
+        "trans_thresh_m": TRANS_THRESH_M,
+    }
+    if deltas is not None:
+        manifest["delta_t"] = deltas.delta_t.tolist()
+        manifest["delta_q"] = deltas.delta_q.tolist()
+    with open(os.path.join(out_dir, "manifest.json"), "w") as f:
+        json.dump(manifest, f, indent=1)
+    return out_dir

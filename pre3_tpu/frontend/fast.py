@@ -22,7 +22,7 @@ _RING = (
     (-3, 0), (-3, 1), (-2, 2), (-1, 3), (0, 3), (1, 3), (2, 2), (3, 1),
     (3, 0), (3, -1), (2, -2), (1, -3), (0, -3), (-1, -3), (-2, -2), (-3, -1),
 )
-ARC = 9  # FAST-9
+ARC = 9  # default: FAST-9 (the variant the reference MEX-compiles)
 
 
 class Corners(NamedTuple):
@@ -40,12 +40,17 @@ def _ring_stack(img: jnp.ndarray) -> jnp.ndarray:
     return jnp.stack(shifted, axis=0)
 
 
-def fast_score_map(img: jnp.ndarray, threshold: float = 0.05) -> jnp.ndarray:
-    """Per-pixel FAST-9 corner score (0 where not a corner).
+def fast_score_map(
+    img: jnp.ndarray, threshold: float = 0.05, arc: int = ARC
+) -> jnp.ndarray:
+    """Per-pixel FAST-n corner score (0 where not a corner), n = arc ∈ 9..12
+    (the reference ships fast_corner_detect_{9,10,11,12}.m; 9 is the one it
+    MEX-compiles and uses).
 
     Score = max over (bright, dark) polarity of the summed threshold excess
     on the contiguous arc — the standard nonmax-suppression score.
     """
+    ARC = arc
     ring = _ring_stack(img)  # [16, H, W]
     center = img[None]
     bright = ring - center - threshold  # >0 ⇒ ring pixel much brighter
@@ -85,12 +90,13 @@ def nonmax_suppress(score: jnp.ndarray) -> jnp.ndarray:
     return jnp.where(score >= local_max, score, 0.0)
 
 
-@partial(jax.jit, static_argnames=("max_corners",))
+@partial(jax.jit, static_argnames=("max_corners", "arc"))
 def detect(
-    img: jnp.ndarray, threshold: float = 0.05, max_corners: int = 256
+    img: jnp.ndarray, threshold: float = 0.05, max_corners: int = 256,
+    arc: int = ARC,
 ) -> Corners:
-    """FAST-9 detection → top-K corners with scores (static K)."""
-    score = nonmax_suppress(fast_score_map(img, threshold))
+    """FAST-n detection → top-K corners with scores (static K)."""
+    score = nonmax_suppress(fast_score_map(img, threshold, arc=arc))
     flat = score.reshape(-1)
     vals, idx = jax.lax.top_k(flat, max_corners)
     w = img.shape[1]
