@@ -25,4 +25,15 @@ Package layout:
   utils/     config, profiling, checkpointing (reference C24 + §5 aux)
 """
 
+import jax as _jax
+
+# Estimation accuracy first: TPU f32 matmuls default to bf16 passes
+# (precision=DEFAULT), which visibly degrades the engine's small-matrix
+# math — Kalman gains, Kabsch/GN solves, covariance propagation (e.g.
+# dls_pnp translation error 8e-3 vs 8e-4 at highest). Default the whole
+# engine to full-f32 matmuls; the few throughput-bound, precision-
+# insensitive kernels (descriptor distance matmul, NCC patch correlation)
+# opt back into fast bf16 passes explicitly at their call sites.
+_jax.config.update("jax_default_matmul_precision", "highest")
+
 __version__ = "0.1.0"

@@ -43,7 +43,11 @@ def _pairwise_dist2(d1: jnp.ndarray, d2: jnp.ndarray) -> jnp.ndarray:
     """Squared L2 distances [N1, N2] via the matmul identity (MXU path)."""
     n1 = jnp.sum(d1 * d1, axis=-1, keepdims=True)
     n2 = jnp.sum(d2 * d2, axis=-1, keepdims=True).T
-    g = jnp.dot(d1, d2.T, preferred_element_type=jnp.float32)
+    # Throughput kernel: ratio-test distances tolerate bf16 passes, so opt
+    # out of the engine-wide "highest" matmul default (pre3_tpu/__init__.py)
+    # and keep the fast MXU path.
+    g = jnp.dot(d1, d2.T, preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.DEFAULT)
     return jnp.maximum(n1 + n2 - 2.0 * g, 0.0)
 
 

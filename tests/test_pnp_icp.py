@@ -134,3 +134,48 @@ class TestIcp:
         ang = np.degrees(np.arccos(np.clip((np.trace(dr) - 1) / 2, -1, 1)))
         assert ang < 0.5
         assert np.linalg.norm(np.asarray(rr.t) - np.asarray(ri.t)) < 0.01
+
+
+class TestDlsPnp:
+    """Object-space DLS cost minimization (aux_code/dls_pnp_matlab role)."""
+
+    def test_recovers_pose_clean(self):
+        from pre3_tpu.vo.pnp import dls_pnp
+
+        pw = scene(seed=5)
+        r_gt, t_gt = pose(seed=6)
+        pc = pw @ r_gt.T + t_gt
+        uv = pc[:, :2] / pc[:, 2:3]
+        res = dls_pnp(jnp.asarray(pw), jnp.asarray(uv),
+                      jnp.ones(len(pw), bool))
+        assert bool(res.ok)
+        np.testing.assert_allclose(np.asarray(res.r), r_gt, atol=1e-3)
+        np.testing.assert_allclose(np.asarray(res.t), t_gt, atol=2e-3)
+        assert float(res.err) < 1e-8
+
+    def test_refines_noisy_epnp(self):
+        """With pixel noise, GN on the object-space cost must not be worse
+        than its EPnP seed under that cost."""
+        from pre3_tpu.vo.pnp import dls_pnp, epnp
+
+        rng = np.random.default_rng(7)
+        pw = scene(n=60, seed=8)
+        r_gt, t_gt = pose(seed=9)
+        pc = pw @ r_gt.T + t_gt
+        uv = pc[:, :2] / pc[:, 2:3] + rng.normal(
+            scale=2e-3, size=(len(pw), 2)).astype(np.float32)
+        valid = jnp.ones(len(pw), bool)
+        seed_res = epnp(jnp.asarray(pw), jnp.asarray(uv), valid)
+        res = dls_pnp(jnp.asarray(pw), jnp.asarray(uv), valid)
+
+        v = np.concatenate([uv, np.ones((len(pw), 1), np.float32)], axis=-1)
+        v /= np.linalg.norm(v, axis=-1, keepdims=True)
+        proj = np.eye(3)[None] - v[:, :, None] * v[:, None, :]
+
+        def cost(r, t):
+            e = np.einsum("nij,nj->ni", proj, pw @ np.asarray(r).T
+                          + np.asarray(t))
+            return float(np.sum(e * e))
+
+        assert cost(res.r, res.t) <= cost(seed_res.r, seed_res.t) + 1e-10
+        np.testing.assert_allclose(np.asarray(res.r), r_gt, atol=2e-2)
