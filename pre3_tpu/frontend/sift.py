@@ -259,6 +259,100 @@ def _orientations(
 # ---------------------------------------------------------------------------
 
 
+def _tri_sepconv(x: jnp.ndarray, delta: float) -> jnp.ndarray:
+    """Separable triangle (hat) convolution of [H, W, C]:
+    out(p) = Σ_q max(0, 1−|pᵣ−qᵣ|/Δ)·max(0, 1−|p_c−q_c|/Δ)·x(q)."""
+    radius = max(int(np.ceil(delta)) - 1, 0)
+    taps = jnp.asarray(
+        [1.0 - abs(t) / delta for t in range(-radius, radius + 1)],
+        x.dtype,
+    )
+    h, w, c = x.shape
+    # rows then cols; channels ride the batch dimension
+    y = x.transpose(2, 0, 1)[:, None]  # [C, 1, H, W]
+    y = jax.lax.conv_general_dilated(
+        y, taps.reshape(1, 1, -1, 1), (1, 1), "SAME"
+    )
+    y = jax.lax.conv_general_dilated(
+        y, taps.reshape(1, 1, 1, -1), (1, 1), "SAME"
+    )
+    return y[:, 0].transpose(1, 2, 0)
+
+
+def _descriptors_dense(
+    mag: jnp.ndarray, ang: jnp.ndarray, level: jnp.ndarray,
+    r_f: jnp.ndarray, c_f: jnp.ndarray, sigma: jnp.ndarray,
+    s_levels: int, sigma0: float,
+) -> jnp.ndarray:
+    """Upright 128-D descriptors via dense pre-binning — the TPU-shaped
+    formulation of siftdescriptor.c (SURVEY §2.3). The sampled form
+    (_descriptors) issues ~1k scalar gathers per keypoint, which is the
+    slowest thing a TPU can do; here the irregular work collapses to 64
+    8-vector gathers per keypoint:
+
+      1. orientation binning:  m8[h,w,o] = mag·hat(ang→8 bins)   (dense VPU)
+      2. spatial binning:      B = triangle-conv(m8, Δ_l) per level, with
+         the footprint Δ_l = MAGNIF·σ_l quantized to the level's nominal
+         scale (vlfeat-dsift-style approximation)        (dense sepconv)
+      3. per keypoint: bilinear-sample B at its 4×4 bin centers, weight
+         by the Gaussian window evaluated at bin centers (flat-window
+         approximation), normalize/clamp/renormalize.
+
+    Upright only (θ=0): rotation would break the shared dense binning;
+    extract_sift falls back to _descriptors when upright=False.
+    """
+    n_lev, h, w = mag.shape
+    k_scale = 2.0 ** (1.0 / s_levels)
+
+    # 1. orientation hat binning (dense, all levels at once)
+    af = (ang % (2 * jnp.pi)) / (2 * jnp.pi) * NBO  # [L, H, W]
+    ob = jnp.arange(NBO, dtype=mag.dtype)
+    diff = jnp.abs(af[..., None] - ob)
+    circ = jnp.minimum(diff, NBO - diff)
+    m8 = mag[..., None] * jnp.maximum(0.0, 1.0 - circ)  # [L, H, W, 8]
+
+    # 2. per-level triangle pre-binning at the level's nominal Δ
+    binned = jnp.stack([
+        _tri_sepconv(m8[l], MAGNIF * sigma0 * k_scale ** (l - 1.0))
+        for l in range(n_lev)
+    ])  # [L, H, W, 8]
+
+    # 3. sample each keypoint's 4×4 bin centers (bilinear, 8-vector taps)
+    centers = jnp.arange(NBP, dtype=mag.dtype) - (NBP - 1) / 2.0
+    gx, gy = jnp.meshgrid(centers, centers, indexing="xy")
+    gxy = jnp.stack([gx.ravel(), gy.ravel()], axis=-1)  # [16, 2] bin units
+    delta_k = (MAGNIF * sigma)[:, None]  # [K, 1] px per bin
+    u = c_f[:, None] + gxy[None, :, 0] * delta_k  # [K, 16]
+    v = r_f[:, None] + gxy[None, :, 1] * delta_k
+    u = jnp.clip(u, 0.0, w - 1.001)
+    v = jnp.clip(v, 0.0, h - 1.001)
+    u0 = jnp.floor(u).astype(jnp.int32)
+    v0 = jnp.floor(v).astype(jnp.int32)
+    du = (u - u0)[..., None]
+    dv = (v - v0)[..., None]
+    flat = binned.reshape(-1, NBO)  # [L·H·W, 8]
+    base = (level[:, None] * h + v0) * w + u0  # [K, 16]
+
+    def at(off):
+        return flat[base + off]  # [K, 16, 8]
+
+    samp = (
+        at(0) * (1 - du) * (1 - dv) + at(1) * du * (1 - dv)
+        + at(w) * (1 - du) * dv + at(w + 1) * du * dv
+    )
+
+    # Gaussian window at bin centers (flat-window approximation)
+    win = jnp.exp(
+        -jnp.sum(gxy * gxy, axis=-1) / (2.0 * (NBP / 2.0) ** 2)
+    )  # [16]
+    desc = (samp * win[None, :, None]).reshape(samp.shape[0], -1)  # [K, 128]
+    n1 = jnp.linalg.norm(desc, axis=-1, keepdims=True)
+    desc = desc / jnp.maximum(n1, 1e-8)
+    desc = jnp.minimum(desc, 0.2)
+    n2 = jnp.linalg.norm(desc, axis=-1, keepdims=True)
+    return desc / jnp.maximum(n2, 1e-8)
+
+
 def _descriptors(
     mag: jnp.ndarray, ang: jnp.ndarray, level: jnp.ndarray,
     r_f: jnp.ndarray, c_f: jnp.ndarray, sigma: jnp.ndarray,
@@ -357,9 +451,12 @@ def extract_sift(
         ang = jnp.stack(angs)
         if upright:
             theta = jnp.zeros_like(sigma)
+            desc = _descriptors_dense(
+                mag, ang, lvl, r_f, c_f, sigma, s_levels, sigma0
+            )
         else:
             theta = _orientations(mag, ang, lvl, r_f, c_f, sigma)
-        desc = _descriptors(mag, ang, lvl, r_f, c_f, sigma, theta)
+            desc = _descriptors(mag, ang, lvl, r_f, c_f, sigma, theta)
         ds = float(oct_.downsample)
         outs.append(
             SiftFeatures(
