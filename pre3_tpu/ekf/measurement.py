@@ -29,7 +29,7 @@ from pre3_tpu.geometry.inverse_depth import (
     inverse_depth_camera_ray,
 )
 from pre3_tpu.geometry.quaternion import qconj, qrotate
-from pre3_tpu.ops.matching import match_descriptors
+from pre3_tpu.ops.matching import match_descriptors_auto
 
 
 class Observations(NamedTuple):
@@ -152,7 +152,7 @@ def search_ic_matches(
     the predicted search region (search_IC_matches.m:33-44 +
     matching_sift_based.m:118-133). Updates stored descriptors on success
     (the reference refreshes the per-feature descriptor)."""
-    m = match_descriptors(
+    m = match_descriptors_auto(
         state.desc, frame.desc, valid1=obs.visible, valid2=frame.valid,
         ratio=ratio,
     )

@@ -131,9 +131,12 @@ def _match_kernel(d1_ref, d2t_ref, n2sq_ref, idx_ref, best_ref, second_ref,
     best, second, idx = jax.lax.fori_loop(
         0, n2_tiles, body, (best0, second0, idx0)
     )
-    idx_ref[:] = idx
-    best_ref[:] = best
-    second_ref[:] = second
+    # 2-D (1, T1) outputs with the tile on the lane axis: 1-D tiled s32
+    # outputs hit XLA/Mosaic layout mismatches (same pitfall documented in
+    # ops/ransac_score.py out_specs).
+    idx_ref[0, :] = idx
+    best_ref[0, :] = best
+    second_ref[0, :] = second
 
 
 @partial(jax.jit, static_argnames=("ratio", "tile_n1", "tile_n2", "interpret"))
@@ -180,18 +183,47 @@ def match_descriptors_pallas(
             pl.BlockSpec((1, n2p), lambda i: (0, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=(
-            pl.BlockSpec((tile_n1,), lambda i: (i,), memory_space=pltpu.VMEM),
-            pl.BlockSpec((tile_n1,), lambda i: (i,), memory_space=pltpu.VMEM),
-            pl.BlockSpec((tile_n1,), lambda i: (i,), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tile_n1), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tile_n1), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tile_n1), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
         ),
         out_shape=(
-            jax.ShapeDtypeStruct((n1p,), jnp.int32),
-            jax.ShapeDtypeStruct((n1p,), jnp.float32),
-            jax.ShapeDtypeStruct((n1p,), jnp.float32),
+            jax.ShapeDtypeStruct((1, n1p), jnp.int32),
+            jax.ShapeDtypeStruct((1, n1p), jnp.float32),
+            jax.ShapeDtypeStruct((1, n1p), jnp.float32),
         ),
         interpret=interpret,
     )(d1p, d2p.T, n2sq)
 
-    idx, best, second = idx[:n1], best[:n1], second[:n1]
+    idx, best, second = idx[0, :n1], best[0, :n1], second[0, :n1]
     accepted = (best * ratio < second) & (best < BIG) & valid1
     return Matches(index=idx, dist2=best, dist2_second=second, accepted=accepted)
+
+
+# Measured on TPU v5e (tools/bench_kernels.py, table in BASELINE.md): the
+# streaming Pallas matcher ties XLA at frontend shapes (≤512²) and wins
+# ~2.4× once the [N1, N2] distance matrix stops fitting the fusion budget
+# (8192²: 2.3 ms vs 5.6 ms). Dispatch point: padded problem ≥ 2048².
+_PALLAS_MIN_ELEMS = 2048 * 2048
+
+
+def match_descriptors_auto(
+    d1: jnp.ndarray,
+    d2: jnp.ndarray,
+    valid1: jnp.ndarray | None = None,
+    valid2: jnp.ndarray | None = None,
+    ratio: float = 1.5,
+) -> Matches:
+    """Production matcher: routes large problems through the Pallas
+    streaming kernel on TPU, everything else through XLA. Shapes are
+    static under jit, so the dispatch is trace-time."""
+    n1, n2 = d1.shape[0], d2.shape[0]
+    on_tpu = jax.default_backend() == "tpu"
+    if on_tpu and n1 * n2 >= _PALLAS_MIN_ELEMS:
+        return match_descriptors_pallas(
+            d1, d2, valid1=valid1, valid2=valid2, ratio=ratio
+        )
+    return match_descriptors(d1, d2, valid1=valid1, valid2=valid2, ratio=ratio)

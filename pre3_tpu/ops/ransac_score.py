@@ -131,3 +131,21 @@ def score_hypotheses_pallas(
         interpret=interpret,
     )(r_rows, t_rows, p2_p.T, p1sq, p1_p.T, vth)
     return sup[0, :b], err[0, :b]
+
+
+def score_hypotheses(
+    r: jnp.ndarray,
+    t: jnp.ndarray,
+    p1: jnp.ndarray,
+    p2: jnp.ndarray,
+    valid: jnp.ndarray,
+    threshold: jnp.ndarray,
+):
+    """Production scorer (used by vo/ransac.py): the Pallas kernel on TPU —
+    it fuses residual/threshold/reduce behind one MXU matmul and never
+    materializes the [B, N, 3] prediction in HBM that the XLA einsum path
+    does — XLA elsewhere (CPU tests run the interpretless jnp path).
+    Measured TPU v5e table in BASELINE.md (tools/bench_kernels.py)."""
+    if jax.default_backend() == "tpu":
+        return score_hypotheses_pallas(r, t, p1, p2, valid, threshold)
+    return score_hypotheses_xla(r, t, p1, p2, valid, threshold)

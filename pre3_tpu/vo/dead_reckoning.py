@@ -25,7 +25,7 @@ from pre3_tpu.frontend.pipeline import Features
 from pre3_tpu.geometry.quaternion import qprod, qnormalize, qrotate
 from pre3_tpu.geometry.se3 import Pose
 from pre3_tpu.geometry.quaternion import r2q
-from pre3_tpu.ops.matching import match_descriptors
+from pre3_tpu.ops.matching import match_descriptors_auto
 from pre3_tpu.vo.ransac import RansacResult, ransac_rigid
 
 
@@ -53,7 +53,7 @@ def vo_pair(
     With with_covariance=True, also the IFT covariance of the increment
     (vo/covariance.py) for use as EKF process noise.
     """
-    m = match_descriptors(
+    m = match_descriptors_auto(
         f1.desc, f2.desc, valid1=f1.valid, valid2=f2.valid, ratio=ratio
     )
     p1 = f1.xyz

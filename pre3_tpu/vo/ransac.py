@@ -76,13 +76,13 @@ def ransac_rigid(
     hp2 = p2[idx]
     fits = kabsch(hp1, hp2)  # batched over B
 
-    # Score all hypotheses × all matches: [B, N]
-    pred = jnp.einsum("bij,nj->bni", fits.r, p2) + fits.t[:, None, :]
-    resid2 = jnp.sum((pred - p1[None]) * (pred - p1[None]), axis=-1)
-    inlier = (resid2 < support_threshold) & valid[None, :]
-    support = jnp.sum(inlier, axis=-1)  # [B]
-    err = jnp.sum(jnp.where(inlier, resid2, 0.0), axis=-1) / jnp.maximum(
-        support, 1
+    # Score all hypotheses × all matches (Pallas fused kernel on TPU — the
+    # [B, N] inlier tensor and [B, N, 3] prediction never touch HBM; jnp
+    # einsum path elsewhere. ops/ransac_score.py).
+    from pre3_tpu.ops.ransac_score import score_hypotheses
+
+    support, err = score_hypotheses(
+        fits.r, fits.t, p1, p2, valid, jnp.asarray(support_threshold)
     )
     # best = max support, ties broken by min error (RANSAC_CALC_VER2.m:
     # best = max support then min error) — encode as lexicographic score.
@@ -90,8 +90,11 @@ def ransac_rigid(
     score = jnp.where(fits.ok, score, -1.0)
     best = jnp.argmax(score)
 
-    # Refit on the winning support set with masked weights.
-    w = inlier[best].astype(p1.dtype)
+    # Recompute the winning hypothesis's inlier set (one [N] row — cheap)
+    # and refit on it with masked weights.
+    pred_b = p2 @ fits.r[best].T + fits.t[best]
+    resid2_b = jnp.sum((pred_b - p1) ** 2, axis=-1)
+    w = ((resid2_b < support_threshold) & valid).astype(p1.dtype)
     refit = kabsch(p1, p2, w)
     pred = jnp.einsum("ij,nj->ni", refit.r, p2) + refit.t
     resid2 = jnp.sum((pred - p1) * (pred - p1), axis=-1)

@@ -1,5 +1,12 @@
-"""Pallas RANSAC scoring kernel vs the XLA reference (interpret mode on
-CPU; the compiled path is exercised by the TPU bench)."""
+"""Pallas RANSAC scoring kernel vs the XLA reference.
+
+These tests pin the kernel semantics in interpret mode (the suite runs on
+the 8-virtual-device CPU platform). The compiled TPU path is on the
+production pipeline: vo/ransac.py scores through
+ops.ransac_score.score_hypotheses, which dispatches to the Pallas kernel
+whenever the backend is TPU — bench.py and tools/bench_kernels.py (the
+measured XLA-vs-Pallas table lives in BASELINE.md) both execute it
+compiled on the real chip."""
 
 import jax
 import jax.numpy as jnp
