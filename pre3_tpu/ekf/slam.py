@@ -47,6 +47,9 @@ from pre3_tpu.vo.dead_reckoning import vo_pair
 class SlamConfig(NamedTuple):
     std_z: float = 1.0  # px measurement noise (mono_slam.m:78)
     ransac_batch: int = 256  # 1-pt RANSAC hypotheses (ref: ≤1000 adaptive)
+    ransac_points: int = 3  # matches stacked per hypothesis: 3 = the
+    # namesake 3PRE mode (3-match hypotheses when >3 IC exist, 1 otherwise,
+    # select_random_match.m:47-51); 1 = classic Civera 1-point RANSAC
     vo_batch: int = 512  # VO RANSAC hypotheses
     match_ratio: float = 1.5  # Lowe ratio (siftmatch.c default)
     max_adds: int = 8
@@ -167,7 +170,7 @@ def slam_step(
         # the posterior
         li = one_point_ransac(
             kr, cam_model, state, obs, batch=cfg.ransac_batch,
-            std_z=cfg.std_z,
+            std_z=cfg.std_z, n_points=cfg.ransac_points,
         )
         state = kalman_update(state, obs, li, std_z=cfg.std_z)
         hi, obs2 = rescue_hi_inliers(

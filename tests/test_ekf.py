@@ -264,3 +264,75 @@ class TestMapManagement:
         state, _, _ = bootstrap_state()
         evals = np.linalg.eigvalsh(np.asarray(state.p))
         assert evals.min() > -1e-6
+
+
+class TestThreePointRansac:
+    """The namesake 3PRE mode (select_random_match.m:47-51): 3-match
+    hypotheses when >3 IC matches exist, 1-match fallback otherwise."""
+
+    def _corrupted_scene(self, n_outliers=3, seed=0):
+        state, frame, pts = bootstrap_state()
+        rng = np.random.default_rng(seed)
+        uv = np.array(frame.uv)
+        # moderate outliers: large enough to be spurious, small enough to
+        # sit inside the 40 px match gate where a weak 1-match hypothesis
+        # can still vote them in
+        bad_idx = rng.choice(len(pts), size=n_outliers, replace=False)
+        uv[bad_idx] += rng.uniform(6.0, 14.0, size=(n_outliers, 2)) * (
+            rng.integers(0, 2, (n_outliers, 2)) * 2 - 1
+        )
+        frame2 = frame._replace(uv=jnp.asarray(uv))
+        x_bad = state.x.at[0:3].add(jnp.array([0.012, -0.008, 0.004]))
+        p_bad = state.p.at[0:3, 0:3].add(0.004 * jnp.eye(3))
+        bad = state._replace(x=x_bad, p=p_bad)
+        obs = predict_measurements(CAM, bad)
+        obs, bad = search_ic_matches(obs, bad, frame2)
+        return bad, obs, bad_idx
+
+    def test_three_point_excludes_outliers(self):
+        state, obs, bad_idx = self._corrupted_scene()
+        li3 = one_point_ransac(jax.random.PRNGKey(0), CAM, state, obs,
+                               batch=128, n_points=3)
+        li_np = np.asarray(li3)
+        ic = np.asarray(obs.ic)
+        # every corrupted-and-matched slot must be rejected
+        assert not np.any(li_np[bad_idx] & ic[bad_idx])
+        # and a healthy majority of the clean matches survives
+        clean = ic.copy()
+        clean[bad_idx] = False
+        assert li_np[clean].sum() >= 0.6 * clean.sum()
+
+    def test_three_point_support_geq_one_point(self):
+        """With spurious matches present, the 3-match hypothesis update
+        (better-constrained pose) must recover at least as many true
+        inliers as the 1-match variant, averaged over seeds."""
+        state, obs, bad_idx = self._corrupted_scene()
+        ic = np.asarray(obs.ic)
+        clean = ic.copy()
+        clean[bad_idx] = False
+        n1 = n3 = 0
+        for s in range(4):
+            k = jax.random.PRNGKey(s)
+            li1 = one_point_ransac(k, CAM, state, obs, batch=128,
+                                   n_points=1)
+            li3 = one_point_ransac(k, CAM, state, obs, batch=128,
+                                   n_points=3)
+            n1 += int(np.asarray(li1)[clean].sum())
+            n3 += int(np.asarray(li3)[clean].sum())
+        assert n3 >= n1
+
+    def test_fallback_to_one_match_when_few_ic(self):
+        """With ≤3 IC matches the reference draws ONE match per hypothesis;
+        the masked surplus draws must be exact no-ops and the selection
+        still works."""
+        state, obs, _ = self._corrupted_scene(n_outliers=0)
+        ic = np.asarray(obs.ic)
+        keep = np.where(ic)[0][:3]
+        ic_few = np.zeros_like(ic)
+        ic_few[keep] = True
+        obs_few = obs._replace(ic=jnp.asarray(ic_few))
+        li = one_point_ransac(jax.random.PRNGKey(1), CAM, state, obs_few,
+                              batch=64, n_points=3)
+        li_np = np.asarray(li)
+        assert not np.any(li_np & ~ic_few)
+        assert li_np.sum() >= 2  # clean scene: the kept matches agree
