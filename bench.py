@@ -10,9 +10,10 @@ ATE as a correctness guard).
 Secondary (in "extra"): VO dead-reckoning frames/s (config #1).
 
 vs_baseline denominator: the reference MATLAB pipeline publishes no
-frames/s (BASELINE.md); MATLAB_FPS below is our documented estimate of the
-reference pipeline (per-frame SIFT ×3 + ≤2000-iteration sequential RANSAC
-+ dense O(N²) EKF at 176×144; below the sensor's 10 Hz on period CPUs).
+frames/s (BASELINE.md); BASELINE_FPS below is the MEASURED steady-state
+throughput of the reference-faithful single-thread NumPy port of the
+mono_slam.m per-frame loop (pre3_tpu/eval/reference_port.py) on this
+host — 7.96 frames/s, tools/measure_baseline.py, recorded in BASELINE.md.
 North-star target: vs_baseline ≥ 10.
 """
 
@@ -30,7 +31,7 @@ from pre3_tpu.frontend.pipeline import extract_features, extract_features_sift
 from pre3_tpu.geometry.camera import sr4000_camera
 from pre3_tpu.vo.dead_reckoning import run_sequence
 
-MATLAB_FPS = 2.0  # documented estimate of the reference pipeline, see above
+BASELINE_FPS = 7.96  # measured reference-port fps on this host, see above
 N_FRAMES = 64
 N_LANDMARKS = 64
 
@@ -91,7 +92,7 @@ def main():
                 "metric": "slam_frames_per_s",
                 "value": round(slam_fps, 2),
                 "unit": "frames/s",
-                "vs_baseline": round(slam_fps / MATLAB_FPS, 2),
+                "vs_baseline": round(slam_fps / BASELINE_FPS, 2),
                 "extra": {
                     "backend": jax.default_backend(),
                     "n_frames": N_FRAMES,
