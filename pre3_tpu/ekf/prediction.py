@@ -53,7 +53,9 @@ def process_noise_u() -> np.ndarray:
     return pn.astype(np.float32)
 
 
-_PN = jnp.asarray(process_noise_u())
+# Kept as numpy: a device-array closure constant would be hoisted as an
+# extra executable parameter (see geometry/camera.py::sr4000_camera).
+_PN = process_noise_u()
 
 
 def _norm_jac(q: jnp.ndarray) -> jnp.ndarray:

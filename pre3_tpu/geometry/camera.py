@@ -22,6 +22,7 @@ from __future__ import annotations
 from typing import NamedTuple
 
 import jax.numpy as jnp
+import numpy as np
 
 
 class Camera(NamedTuple):
@@ -35,8 +36,14 @@ class Camera(NamedTuple):
 
 
 def sr4000_camera(dtype=jnp.float32) -> Camera:
-    """The reference's hard-coded SR4000 calibration (initialize_cam.m:64-77)."""
-    a = lambda x: jnp.asarray(x, dtype)
+    """The reference's hard-coded SR4000 calibration (initialize_cam.m:64-77).
+
+    Intrinsics are *numpy* scalars so that functions closing over a Camera
+    embed them as HLO literals rather than hoisted executable parameters
+    (device-array closure constants become extra compiled-program buffers,
+    which a jax 0.9 dispatch fast path can drop after checkpoint resume —
+    "Execution supplied N buffers but compiled program expected 2N")."""
+    a = lambda x: np.asarray(x, dtype)
     return Camera(
         f=a(250.57731), cx=a(91.69), cy=a(72.27),
         k1=a(-0.84656), k2=a(0.53701),

@@ -90,7 +90,10 @@ class OnlineSlam:
                 image=image, xyz_img=xyz_img,
             )
 
-        self._jstep = jax.jit(step)
+        # Donating the state aliases its input/output buffers so the
+        # [D, D] covariance allocation is reused every step instead of
+        # reallocated.
+        self._jstep = jax.jit(step, donate_argnums=(0,))
         self.state: EkfState | None = None
         self._prev: Features | None = None
         self.step_i = 0
@@ -142,19 +145,12 @@ class OnlineSlam:
                 xyzj if self._needs_image else None,
             )
             with self.timer.stage("ekf_step_dispatch"):
-                try:
-                    self.state, (stats, _record) = self._jstep(*args)
-                except ValueError as e:  # pragma: no cover - jax quirk
-                    # jax 0.9 layout fast-path bug: an executable first
-                    # compiled against host-loaded (npz) arrays can reject
-                    # jit-produced arrays of identical avals with
-                    # "Execution supplied N buffers but compiled program
-                    # expected 2N". Recompiling against the live arrays
-                    # fixes it permanently (observed after resume()).
-                    if "buffers but compiled program" not in str(e):
-                        raise
-                    self._jstep.clear_cache()
-                    self.state, (stats, _record) = self._jstep(*args)
+                # slam_step's closure constants are all numpy (embedded as
+                # HLO literals — see geometry/camera.py::sr4000_camera), so
+                # the compiled program's buffer list is exactly the
+                # arguments and this dispatch stays valid across
+                # snapshot/resume with no recompile workaround.
+                self.state, (stats, _record) = self._jstep(*args)
                 if self.sync:
                     jax.block_until_ready(self.state.x)
             res = StepResult(

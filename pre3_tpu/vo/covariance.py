@@ -23,13 +23,15 @@ from __future__ import annotations
 from functools import partial
 
 import jax
+import numpy as np
 import jax.numpy as jnp
 
 from pre3_tpu.geometry.quaternion import qrotate, v2q
 
 
 SIGMA_RANGE = 0.01  # m (reference sensor model)
-SIGMA_ANG = jnp.float32(0.24 * jnp.pi / 180.0)  # rad
+# numpy (not device) scalar: see geometry/camera.py::sr4000_camera
+SIGMA_ANG = np.float32(0.24 * np.pi / 180.0)  # rad
 
 
 def sr4000_point_covariance(p: jnp.ndarray) -> jnp.ndarray:
