@@ -15,10 +15,11 @@ to a dense tensor formulation:
                      weights — the scatter becomes a dense [samples, bins]
                      contraction that rides the MXU
 
-Fixed-capacity keypoint lists per octave (top-k by |DoG|), masked; single
-dominant orientation per keypoint (the reference can emit multiple
-orientations per keypoint — deviation documented here; it only duplicates
-keypoints, and map matching handles it identically).
+Fixed-capacity keypoint lists per octave (top-k by |DoG|), masked. With
+upright=False each keypoint emits up to 2 orientation peaks (the reference
+emits one keypoint per peak within 80% of the max, sift_vedal.m:232-317);
+the duplicates occupy a second masked [K] block, so capacity doubles to
+2·K per octave in that mode.
 """
 
 from __future__ import annotations
@@ -211,12 +212,18 @@ def _gather_bilinear_level(
 def _orientations(
     mag: jnp.ndarray, ang: jnp.ndarray, level: jnp.ndarray,
     r_f: jnp.ndarray, c_f: jnp.ndarray, sigma: jnp.ndarray,
-) -> jnp.ndarray:
-    """Dominant gradient orientation per keypoint (siftormx.c).
+) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Top-2 gradient orientations per keypoint (siftormx.c).
 
     Fixed (2R+1)² sample window; Gaussian weight uses the per-keypoint
     σ_w = 1.5σ. Histogram built by one-hot contraction, smoothed
-    circularly, peak refined by parabolic interpolation."""
+    circularly, peaks refined by parabolic interpolation.
+
+    Returns (θ₁ [K], θ₂ [K], has2 [K] bool). The reference emits one
+    keypoint per histogram peak within 80% of the global maximum
+    (sift/sift_vedal.m:232-317, siftormx.c); we cap at 2 peaks — Lowe
+    reports ~15% of keypoints carry a second peak, so 2 covers nearly all
+    multi-orientation emissions with a static shape."""
     rr = jnp.arange(-ORI_RADIUS, ORI_RADIUS + 1, dtype=jnp.float32)
     gu, gv = jnp.meshgrid(rr, rr, indexing="xy")
     grid = jnp.stack([gu.ravel(), gv.ravel()], axis=-1)  # [S², 2]
@@ -241,17 +248,32 @@ def _orientations(
         hist = (
             hist + 0.5 * (jnp.roll(hist, 1, -1) + jnp.roll(hist, -1, -1))
         ) / 2.0
-    peak = jnp.argmax(hist, axis=-1)
-    hm = jnp.take_along_axis(hist, peak[:, None], axis=-1)[:, 0]
-    hl = jnp.take_along_axis(
-        hist, ((peak - 1) % N_ORI_BINS)[:, None], axis=-1
-    )[:, 0]
-    hr = jnp.take_along_axis(
-        hist, ((peak + 1) % N_ORI_BINS)[:, None], axis=-1
-    )[:, 0]
-    denom = hl - 2 * hm + hr
-    dpk = jnp.where(jnp.abs(denom) > 1e-12, 0.5 * (hl - hr) / denom, 0.0)
-    return (peak + dpk) * (2 * jnp.pi / N_ORI_BINS)
+    def refine(peak):
+        hm = jnp.take_along_axis(hist, peak[:, None], axis=-1)[:, 0]
+        hl = jnp.take_along_axis(
+            hist, ((peak - 1) % N_ORI_BINS)[:, None], axis=-1
+        )[:, 0]
+        hr = jnp.take_along_axis(
+            hist, ((peak + 1) % N_ORI_BINS)[:, None], axis=-1
+        )[:, 0]
+        denom = hl - 2 * hm + hr
+        dpk = jnp.where(
+            jnp.abs(denom) > 1e-12, 0.5 * (hl - hr) / denom, 0.0
+        )
+        return (peak + dpk) * (2 * jnp.pi / N_ORI_BINS), hm
+
+    peak1 = jnp.argmax(hist, axis=-1)
+    theta1, h1 = refine(peak1)
+    # second peak: the best circular local maximum other than the global
+    # one, admitted at ≥ 80% of the global peak (Lowe's rule, siftormx.c)
+    is_max = (hist >= jnp.roll(hist, 1, -1)) & (hist > jnp.roll(hist, -1, -1))
+    cand = jnp.where(
+        is_max & (bins[None] != peak1[:, None]), hist, -jnp.inf
+    )
+    peak2 = jnp.argmax(cand, axis=-1)
+    theta2, h2 = refine(peak2)
+    has2 = jnp.take_along_axis(cand, peak2[:, None], -1)[:, 0] >= 0.8 * h1
+    return theta1, theta2, has2
 
 
 # ---------------------------------------------------------------------------
@@ -455,7 +477,20 @@ def extract_sift(
                 mag, ang, lvl, r_f, c_f, sigma, s_levels, sigma0
             )
         else:
-            theta = _orientations(mag, ang, lvl, r_f, c_f, sigma)
+            # Multi-orientation emission (sift_vedal.m:232-317): each
+            # second peak ≥ 80% of the max becomes its own keypoint at the
+            # same location/scale — duplicate the slot arrays [K] → [2K]
+            # and mask the copies without a qualifying second peak.
+            theta1, theta2, has2 = _orientations(
+                mag, ang, lvl, r_f, c_f, sigma
+            )
+            theta = jnp.concatenate([theta1, theta2])
+            r_f = jnp.concatenate([r_f, r_f])
+            c_f = jnp.concatenate([c_f, c_f])
+            lvl = jnp.concatenate([lvl, lvl])
+            sigma = jnp.concatenate([sigma, sigma])
+            score = jnp.concatenate([score, jnp.where(has2, score, 0.0)])
+            valid = jnp.concatenate([valid, valid & has2])
             desc = _descriptors(mag, ang, lvl, r_f, c_f, sigma, theta)
         ds = float(oct_.downsample)
         outs.append(

@@ -137,3 +137,88 @@ class TestSiftDescriptor:
         expect = np.stack([uv0[:, 1], w - 1 - uv0[:, 0]], axis=-1)
         d = np.linalg.norm(uv1 - expect, axis=-1)
         assert np.median(d) < 3.0
+
+
+def _rotate_image(img: jnp.ndarray, deg: float) -> jnp.ndarray:
+    """Rotate about the image center (bilinear, zero fill)."""
+    from jax.scipy.ndimage import map_coordinates
+
+    h, w = img.shape
+    cy, cx = (h - 1) / 2.0, (w - 1) / 2.0
+    th = np.deg2rad(deg)
+    yy, xx = jnp.mgrid[0:h, 0:w]
+    # source coords = R(-θ) applied to dest offsets
+    dy, dx = yy - cy, xx - cx
+    sy = cy + np.cos(th) * dy - np.sin(th) * dx
+    sx = cx + np.sin(th) * dy + np.cos(th) * dx
+    return map_coordinates(img, [sy, sx], order=1, mode="constant")
+
+
+def _uv_rotated(uv: np.ndarray, shape, deg: float) -> np.ndarray:
+    h, w = shape
+    cy, cx = (h - 1) / 2.0, (w - 1) / 2.0
+    th = np.deg2rad(deg)
+    du, dv = uv[:, 0] - cx, uv[:, 1] - cy
+    return np.stack(
+        [cx + np.cos(th) * du - np.sin(th) * dv,
+         cy + np.sin(th) * du + np.cos(th) * dv], axis=-1,
+    )
+
+
+class TestMultiOrientation:
+    def test_second_peak_emitted(self):
+        """upright=False doubles capacity; keypoints with a qualifying
+        second histogram peak (≥ 0.8·max, sift_vedal.m:232-317) appear as
+        valid duplicates at the same location with a different θ."""
+        scene = make_scene(n_points=150, seed=8)
+        traj = make_trajectory(1, seed=9)
+        fr = render_frame(scene, traj.t[0], traj.r[0], 0.0, noise=0.002)
+        f_up = extract_sift(jnp.asarray(fr.intensity),
+                            keypoints_per_octave=96)
+        f = extract_sift(jnp.asarray(fr.intensity), keypoints_per_octave=96,
+                         upright=False)
+        assert f.uv.shape[0] == 2 * f_up.uv.shape[0]
+        # layout: per octave, [kpo primary | kpo second-peak duplicates]
+        kpo = 96
+        valid = np.asarray(f.valid)
+        uv, th = np.asarray(f.uv), np.asarray(f.orientation)
+        n_second = 0
+        for o in range(f.uv.shape[0] // (2 * kpo)):
+            first = valid[2 * kpo * o: 2 * kpo * o + kpo]
+            second = valid[2 * kpo * o + kpo: 2 * kpo * (o + 1)]
+            assert (second & ~first).sum() == 0  # copies of valid slots only
+            dup = np.where(second)[0] + 2 * kpo * o
+            np.testing.assert_allclose(uv[dup + kpo], uv[dup], atol=1e-5)
+            # distinct local maxima are ≥ 2 histogram bins apart; parabolic
+            # refinement can shift each by up to ±½ bin → floor ≈ 1 bin
+            dth = np.abs(np.angle(np.exp(1j * (th[dup + kpo] - th[dup]))))
+            assert (dth > 0.15).all(), "second peak should differ in angle"
+            n_second += second.sum()
+        assert n_second > 0, "no second-orientation keypoints emitted"
+
+    def test_repeatability_vs_rotation_angle(self):
+        """Match rate of upright=False descriptors under in-plane rotation
+        (the reference's siftormx.c rotation invariance). Match rate =
+        accepted matches with correct geometry / min(valid kp counts);
+        numbers recorded in PARITY.md §C15."""
+        scene = make_scene(n_points=150, seed=10)
+        traj = make_trajectory(1, seed=11)
+        fr = render_frame(scene, traj.t[0], traj.r[0], 0.0, noise=0.002)
+        img = jnp.asarray(fr.intensity)
+        f0 = extract_sift(img, keypoints_per_octave=96, upright=False)
+        rates = {}
+        for deg in (15.0, 45.0, 75.0):
+            f1 = extract_sift(_rotate_image(img, deg),
+                              keypoints_per_octave=96, upright=False)
+            m = match_descriptors(f0.desc, f1.desc, valid1=f0.valid,
+                                  valid2=f1.valid, ratio=1.3)
+            acc = np.asarray(m.accepted)
+            uv1 = np.asarray(f1.uv)[np.asarray(m.index)[acc]]
+            expect = _uv_rotated(np.asarray(f0.uv)[acc], img.shape, deg)
+            good = np.linalg.norm(uv1 - expect, axis=-1) < 4.0
+            n0 = int(np.asarray(f0.valid).sum())
+            n1 = int(np.asarray(f1.valid).sum())
+            rates[deg] = good.sum() / max(min(n0, n1), 1)
+        # rotation must not collapse matching (an upright extractor scores
+        # ~0 at 45°); exact rates are recorded in PARITY.md
+        assert min(rates.values()) > 0.10, rates
