@@ -4,6 +4,7 @@ sequence → VO → keyframes → tracks → Schur BA, against synthetic GT."""
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from pre3_tpu.backend.ba import bundle_adjust
 from pre3_tpu.backend.keyframes import select_keyframes
@@ -99,6 +100,7 @@ class TestFullBackend:
 
 
 class TestEkfBaBridge:
+    @pytest.mark.slow
     def test_slam_records_to_ba_improves(self):
         """EKF records → BA problem → smoothing must not degrade and
         usually improves the trajectory (the full config-#4 integration)."""

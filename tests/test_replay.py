@@ -7,6 +7,7 @@ import tempfile
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from pre3_tpu.data.synthetic import render_sequence
 from pre3_tpu.ekf.slam import SlamConfig, slam_step
@@ -21,6 +22,7 @@ from pre3_tpu.utils.replay import feature_performance, replay_sequence
 CAM = sr4000_camera()
 
 
+@pytest.mark.slow
 def test_replay_reproduces_trajectory():
     frames, traj, scene = render_sequence(n_frames=6, n_points=250,
                                           noise=0.004)
