@@ -25,6 +25,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from pre3_tpu.backend.ba import (
     BaProblem, BaResult, _build_normal_eqs, _cost,
 )
+from pre3_tpu.parallel.distributed import globalize_replicated
 from pre3_tpu.geometry.camera import Camera
 from pre3_tpu.geometry.quaternion import qnormalize, qprod, v2q
 
@@ -139,42 +140,44 @@ def bundle_adjust_sharded(
         out_specs=(rep, pt_spec),
     )
 
-    def gn_step(carry, _):
-        kf_t, kf_q, points = carry
-        c0 = _cost(cam, kf_t, kf_q, points, problem.obs_uv, problem.mask,
-                   obs_xyz, w_xyz_fl)
-        dc, dp = sharded(
-            kf_t, kf_q, points, problem.obs_uv, problem.mask, obs_xyz,
-            w_xyz_fl,
-        )
-        t2 = kf_t + dc[:, :3]
-        q2 = qnormalize(qprod(kf_q, v2q(dc[:, 3:])))
-        p2 = points + dp
-        c1 = _cost(cam, t2, q2, p2, problem.obs_uv, problem.mask,
-                   obs_xyz, w_xyz_fl)
-        better = c1 < c0
-        return (
-            jnp.where(better, t2, kf_t),
-            jnp.where(better, q2, kf_q),
-            jnp.where(better, p2, points),
-        ), jnp.where(better, c1, c0)
-
+    # All tensors enter `run` as explicit (replicated global) arguments —
+    # device-array closures would become process-local hoisted constants,
+    # which cannot feed a computation spanning a multi-process mesh. The
+    # shard_map in_specs distribute the landmark axis from the replicated
+    # copies (a local slice, no communication).
     @jax.jit
-    def run(kf_t, kf_q, points):
+    def run(kf_t, kf_q, points, obs_uv, mask, obs_xyz, w_xyz_fl):
+        def gn_step(carry, _):
+            kf_t, kf_q, points = carry
+            c0 = _cost(cam, kf_t, kf_q, points, obs_uv, mask,
+                       obs_xyz, w_xyz_fl)
+            dc, dp = sharded(
+                kf_t, kf_q, points, obs_uv, mask, obs_xyz, w_xyz_fl,
+            )
+            t2 = kf_t + dc[:, :3]
+            q2 = qnormalize(qprod(kf_q, v2q(dc[:, 3:])))
+            p2 = points + dp
+            c1 = _cost(cam, t2, q2, p2, obs_uv, mask, obs_xyz, w_xyz_fl)
+            better = c1 < c0
+            return (
+                jnp.where(better, t2, kf_t),
+                jnp.where(better, q2, kf_q),
+                jnp.where(better, p2, points),
+            ), jnp.where(better, c1, c0)
+
+        cost0 = _cost(cam, kf_t, kf_q, points, obs_uv, mask, obs_xyz,
+                      w_xyz_fl)
         (t, q, p), costs = jax.lax.scan(
             gn_step, (kf_t, kf_q, points), None, length=iters
         )
-        return t, q, p, costs
+        # gather the landmark shards so every process can read the result
+        p = jax.lax.with_sharding_constraint(p, NamedSharding(mesh, P()))
+        return t, q, p[:l_orig], jnp.concatenate([cost0[None], costs])
 
+    g = partial(globalize_replicated, mesh)
     with jax.set_mesh(mesh):
         kf_t, kf_q, points, costs = run(
-            problem.kf_t, problem.kf_q, problem.points
+            g(problem.kf_t), g(problem.kf_q), g(problem.points),
+            g(problem.obs_uv), g(problem.mask), g(obs_xyz), g(w_xyz_fl),
         )
-    cost0 = _cost(
-        cam, problem.kf_t, problem.kf_q, problem.points, problem.obs_uv,
-        problem.mask, obs_xyz, w_xyz_fl,
-    )
-    return BaResult(
-        kf_t=kf_t, kf_q=kf_q, points=points[:l_orig],
-        cost=jnp.concatenate([cost0[None], costs]),
-    )
+    return BaResult(kf_t=kf_t, kf_q=kf_q, points=points, cost=costs)

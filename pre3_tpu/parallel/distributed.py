@@ -18,7 +18,7 @@ from __future__ import annotations
 
 import jax
 import numpy as np
-from jax.sharding import Mesh
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 
 def initialize_distributed(
@@ -45,6 +45,19 @@ def global_landmark_mesh(axis: str = "lm") -> Mesh:
     after initialize_distributed, so the same code path serves 1-chip,
     1-host-N-chip, and N-host slices."""
     return Mesh(np.asarray(jax.devices()), (axis,))
+
+
+def globalize_replicated(mesh: Mesh, x) -> jax.Array:
+    """Turn identical per-process host data into a fully-replicated global
+    array on `mesh`. In a multi-process runtime, plain (process-local)
+    arrays cannot feed a computation spanning the global mesh; every
+    process calls this with the same host values and gets the same global
+    array. Single-process it is just a replicating device_put, so the same
+    entry points serve tests, the 1-chip bench, and N-host runs."""
+    sharding = NamedSharding(mesh, P())
+    if jax.process_count() == 1:
+        return jax.device_put(x, sharding)
+    return jax.make_array_from_process_local_data(sharding, np.asarray(x))
 
 
 def hybrid_mesh(hyp_per_host: bool = True) -> Mesh:

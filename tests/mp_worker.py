@@ -1,0 +1,103 @@
+"""Multi-process worker for tests/test_multiprocess.py.
+
+Runs as one rank of an N-process CPU `jax.distributed` runtime (the
+collective-backend target of SURVEY §2.4 — the reference has no
+distribution at all; disk files are its only transport). Each rank owns
+2 local virtual CPU devices, joins the coordinator, builds the production
+`hybrid_mesh` (processes × local devices = ("lm", "hyp")), and runs the
+two sharded production entry points on deterministic synthetic problems:
+
+  * `bundle_adjust_sharded` — landmark shards split across *processes*
+    (the "lm" axis), so the Schur-reduced camera-system psum crosses the
+    process boundary (Gloo on CPU; DCN on real multi-host TPU).
+  * `sharded_ransac_rigid` — hypothesis batch split across the local
+    "hyp" axis inside each process (ICI on real hardware).
+
+Results are dumped as JSON per rank; the parent test asserts cross-rank
+agreement and equality with the single-process implementations.
+
+Usage: python tests/mp_worker.py <pid> <nproc> <port> <outfile>
+"""
+
+import json
+import os
+import sys
+
+
+def main() -> None:
+    pid, nproc, port, outfile = (
+        int(sys.argv[1]), int(sys.argv[2]), sys.argv[3], sys.argv[4],
+    )
+    os.environ["JAX_PLATFORMS"] = "cpu"
+
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+    jax.config.update("jax_num_cpu_devices", 2)
+    jax.config.update("jax_threefry_partitionable", True)
+
+    from pre3_tpu.parallel.distributed import initialize_distributed
+
+    initialize_distributed(
+        coordinator_address=f"127.0.0.1:{port}",
+        num_processes=nproc,
+        process_id=pid,
+    )
+
+    import jax.numpy as jnp  # noqa: E402
+    import numpy as np  # noqa: E402
+
+    from pre3_tpu.parallel.ba_sharded import bundle_adjust_sharded
+    from pre3_tpu.parallel.distributed import (
+        globalize_replicated, hybrid_mesh,
+    )
+    from pre3_tpu.parallel.vo_sharded import sharded_ransac_rigid
+    from tests.test_ba import CAM, make_ba_problem
+    from tests.test_vo import make_rigid_problem
+
+    assert jax.process_count() == nproc
+    assert len(jax.devices()) == 2 * nproc
+
+    mesh = hybrid_mesh()
+    assert dict(zip(mesh.axis_names, mesh.devices.shape)) == {
+        "lm": nproc, "hyp": 2,
+    }
+
+    # --- distributed BA: landmark shards across processes ---------------
+    prob, _ = make_ba_problem(n_kf=4, n_lm=24, seed=21, t_noise=0.03,
+                              p_noise=0.03)
+    ba = bundle_adjust_sharded(mesh, CAM, prob, iters=8, axis="lm")
+
+    # --- hypothesis-sharded RANSAC across local devices ------------------
+    p1, p2, r_gt, t_gt, _ = make_rigid_problem(
+        n=96, noise=0.003, outlier_frac=0.3, seed=11
+    )
+    g = lambda x: globalize_replicated(mesh, x)
+
+    @jax.jit
+    def run_ransac(p1, p2, valid):
+        return sharded_ransac_rigid(
+            mesh, jax.random.PRNGKey(0), p1, p2, valid, batch=512,
+            support_threshold=0.001,
+        )
+
+    with jax.set_mesh(mesh):
+        res = run_ransac(g(p1), g(p2), g(np.ones(96, bool)))
+
+    json.dump(
+        {
+            "pid": pid,
+            "ba_kf_t": np.asarray(ba.kf_t).tolist(),
+            "ba_points": np.asarray(ba.points).tolist(),
+            "ba_cost_final": float(ba.cost[-1]),
+            "ransac_ok": bool(res.ok),
+            "ransac_r": np.asarray(res.r).tolist(),
+            "ransac_t": np.asarray(res.t).tolist(),
+            "ransac_n_inliers": int(res.n_inliers),
+        },
+        open(outfile, "w"),
+    )
+
+
+if __name__ == "__main__":
+    main()
