@@ -104,17 +104,21 @@ def convert_to_cartesian(
     eye6 = jnp.broadcast_to(jnp.eye(LM_DIM), (k, LM_DIM, LM_DIM))
     blocks = jnp.where(conv[:, None, None], j6, eye6)
 
-    # Full J = blockdiag(I₁₃, blocks) — static positions, then one
-    # J P Jᵀ (D ≈ 400: cheap, simple, fuses well).
+    # J = blockdiag(I₁₃, B₁..B_K) applied as per-slot strip products —
+    # O(K·36·D) instead of materializing J and paying two [D,D]@[D,D]
+    # matmuls (at K=256, D=1549 that is ~30 GFLOP/step and dominates the
+    # whole SLAM step; the strip form is ~500× cheaper).
     d = CAM_DIM + k * LM_DIM
-    big = jnp.zeros((k, LM_DIM, k, LM_DIM))
-    big = big.at[jnp.arange(k), :, jnp.arange(k), :].set(blocks)
-    jfull = jnp.zeros((d, d))
-    jfull = jfull.at[:CAM_DIM, :CAM_DIM].set(jnp.eye(CAM_DIM))
-    jfull = jfull.at[CAM_DIM:, CAM_DIM:].set(
-        big.reshape(k * LM_DIM, k * LM_DIM)
+    plm = state.p[CAM_DIM:].reshape(k, LM_DIM, d)  # [K, 6, D]
+    plm = jnp.einsum("kab,kbD->kaD", blocks, plm)
+    p1 = jnp.concatenate(
+        [state.p[:CAM_DIM], plm.reshape(k * LM_DIM, d)], axis=0
     )
-    p = jfull @ state.p @ jfull.T
+    pcols = p1[:, CAM_DIM:].reshape(d, k, LM_DIM)  # [D, K, 6]
+    pcols = jnp.einsum("kab,Dkb->Dka", blocks, pcols)
+    p = jnp.concatenate(
+        [p1[:, :CAM_DIM], pcols.reshape(d, k * LM_DIM)], axis=1
+    )
     p = 0.5 * (p + p.T)
 
     pts = jax.vmap(inverse_depth_to_cartesian)(lms)  # [K, 3]

@@ -40,17 +40,39 @@ def kalman_update(
     use: jnp.ndarray,  # [K] bool — which measurements to apply
     std_z: float = 1.0,
 ) -> EkfState:
-    """Batch KF update over the selected measurements (update.m:27-56)."""
+    """Batch KF update over the selected measurements (update.m:27-56).
+
+    H is never materialized: row block i of H has nonzeros only in the
+    camera block (2×13) and landmark-i block (2×6), so P·Hᵀ and S = H·P·Hᵀ
+    are assembled from per-slot strip einsums — O(K·D) instead of the
+    O(K·D²) dense [2K,D] matmuls. The posterior P = P − Y·Yᵀ with
+    Y = P·Hᵀ·L⁻ᵀ (S = L·Lᵀ Cholesky) keeps the one unavoidable O(D²·2K)
+    product and guarantees the downdate is symmetric PSD.
+    """
     k = obs.h.shape[0]
-    h = assemble_h(obs, use)  # [2K, D]
+    d = state.x.shape[0]
+    hc = jnp.where(use[:, None, None], obs.hc, 0.0)  # [K, 2, 13]
+    hl = jnp.where(use[:, None, None], obs.hl, 0.0)  # [K, 2, 6]
     nu = jnp.where(use[:, None], obs.z - obs.h, 0.0).reshape(-1)  # [2K]
-    r = (std_z**2) * jnp.eye(2 * k)
-    ph_t = state.p @ h.T  # [D, 2K]
-    s = h @ ph_t + r
-    # solve instead of inverse: K = P Hᵀ S⁻¹ → K = (S⁻ᵀ (P Hᵀ)ᵀ)ᵀ
-    kt = jnp.linalg.solve(s, ph_t.T)  # [2K, D]
-    x_new = state.x + kt.T @ nu
-    p_new = state.p - kt.T @ s @ kt
+    pc = state.p[:, :CAM_DIM]  # [D, 13]
+    pl = state.p[:, CAM_DIM:].reshape(d, k, LM_DIM)  # [D, K, 6]
+    ph = jnp.einsum("dc,kec->dke", pc, hc) + jnp.einsum(
+        "dkl,kel->dke", pl, hl
+    )  # [D, K, 2] = P Hᵀ in per-slot layout
+    ph2 = ph.reshape(d, 2 * k)
+    phc = ph2[:CAM_DIM]  # [13, 2K]
+    phl = ph2[CAM_DIM:].reshape(k, LM_DIM, 2 * k)  # [K, 6, 2K]
+    s = (
+        jnp.einsum("kec,cm->kem", hc, phc)
+        + jnp.einsum("kel,klm->kem", hl, phl)
+    ).reshape(2 * k, 2 * k)
+    s = 0.5 * (s + s.T) + (std_z**2) * jnp.eye(2 * k)
+    # zeroed (unused) measurement rows leave σ² on the S diagonal and a
+    # zero P·Hᵀ column → exact no-ops in the update, as before.
+    c, low = jax.scipy.linalg.cho_factor(s, lower=True)
+    x_new = state.x + ph2 @ jax.scipy.linalg.cho_solve((c, low), nu)
+    y = jax.scipy.linalg.solve_triangular(c, ph2.T, lower=True)  # [2K, D]
+    p_new = state.p - y.T @ y
     p_new = 0.5 * (p_new + p_new.T)
     x_new, p_new = renormalize_quaternion(x_new, p_new)
     return state._replace(x=x_new, p=p_new)
