@@ -15,12 +15,18 @@ Re-design of map_management.m:27-80 and friends:
     add_features_inverse_depth.m:48), full covariance augmentation via
     autodiff Jacobians of the init function.
 
-Deviation from the reference (documented): candidate selection uses
-detector-score top-k among features far from existing landmark
-predictions, instead of Gaussian-center-weighted sampling without
-replacement (Weighted_Smpl_wo_replacement.m) — deterministic and
-batch-friendly; the box-occupancy goal (spatial spread) is served by the
-min-distance gate.
+Candidate selection (initialize_features.m dispatch): two modes —
+  "topk"     detector-score top-k among gated features (deterministic,
+             default; the box-occupancy goal of the reference is served
+             by the min-distance gate), and
+  "weighted" the reference's Gaussian-center-weighted sampling without
+             replacement (Weighted_Smpl_wo_replacement.m:1-35: N(center,
+             diag((W/6)², (H/6)²)) weights, sequentially re-normalized
+             randsample) realized exactly-in-distribution as one Gumbel
+             top-k over log-weights (Efraimidis–Spirakis), which is the
+             static-shape TPU form of sampling without replacement.
+tests/test_map_management.py pins the distributional agreement of the
+Gumbel form against a faithful sequential NumPy sampler.
 """
 
 from __future__ import annotations
@@ -136,6 +142,30 @@ def convert_to_cartesian(
 # ---------------------------------------------------------------------------
 
 
+def weighted_candidate_choice(
+    key: jax.Array,
+    uv: jnp.ndarray,  # [Kf, 2]
+    mask: jnp.ndarray,  # [Kf] eligible candidates
+    max_adds: int,
+    n_cols: float,
+    n_rows: float,
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Gaussian-center-weighted sampling without replacement of max_adds
+    candidate indices (Weighted_Smpl_wo_replacement.m:1-35: weights =
+    N(uv; center, diag((W/6)², (H/6)²)), sequentially re-normalized). One
+    Gumbel top-k over log-weights is identical in distribution
+    (Efraimidis–Spirakis) and static-shape. Returns (indices, ok-mask)."""
+    cx, cy = n_cols / 2.0, n_rows / 2.0
+    sx, sy = n_cols / 6.0, n_rows / 6.0
+    logw = -0.5 * (
+        ((uv[:, 0] - cx) / sx) ** 2 + ((uv[:, 1] - cy) / sy) ** 2
+    )
+    g = jax.random.gumbel(key, (uv.shape[0],))
+    val = jnp.where(mask, logw + g, -jnp.inf)
+    top_val, top_idx = jax.lax.top_k(val, max_adds)
+    return top_idx, jnp.isfinite(top_val)
+
+
 def add_features(
     cam_model: Camera,
     state: EkfState,
@@ -149,10 +179,16 @@ def add_features(
     std_pxl: float = 1.0,
     depth_sigma: float = 0.01,
     image: jnp.ndarray | None = None,
+    sampling: str = "topk",
+    key: jax.Array | None = None,
 ) -> EkfState:
     """Initialize up to `max_adds` new inverse-depth landmarks from
     depth-valid, well-separated frame features when tracking support is
-    low (map_management.m:58-66 / initialize_features.m)."""
+    low (map_management.m:58-66 / initialize_features.m).
+
+    sampling: "topk" (detector score) or "weighted" (the reference's
+    Gaussian-center weighting, Weighted_Smpl_wo_replacement.m — needs
+    `key`; falls back to topk when key is None)."""
     k = state.n_landmarks
     kf = frame.uv.shape[0]
 
@@ -166,8 +202,15 @@ def add_features(
     has_depth = jnp.linalg.norm(frame.xyz, axis=-1) > 0.2
     cand = frame.valid & has_depth & far
     want = n_measured < min_measured
-    score = jnp.where(cand & want, frame.score, -1.0)
-    top_score, top_idx = jax.lax.top_k(score, max_adds)
+    if sampling == "weighted" and key is not None:
+        top_idx, top_ok = weighted_candidate_choice(
+            key, frame.uv, cand & want, max_adds,
+            n_cols=cam_model.n_cols, n_rows=cam_model.n_rows,
+        )
+    else:
+        score = jnp.where(cand & want, frame.score, -1.0)
+        top_score, top_idx = jax.lax.top_k(score, max_adds)
+        top_ok = top_score > 0
 
     # Free slots: inactive, lowest indices first.
     slot_order = jnp.argsort(state.active.astype(jnp.int32), stable=True)
@@ -189,7 +232,7 @@ def add_features(
     def add_one(st: EkfState, j):
         fidx = top_idx[j]
         slot = free_slots[j]
-        do = (top_score[j] > 0) & slot_free[j]
+        do = top_ok[j] & slot_free[j]
 
         uv = frame.uv[fidx]
         xyz = frame.xyz[fidx]

@@ -61,6 +61,10 @@ class SlamConfig(NamedTuple):
     # the intensity image per frame, FEATURE_EXTRACTOR='FAST' analog)
     ncc_threshold: float = 0.60  # matching.m:31 correlation gate
     only_predict: bool = False  # ONLY_PREDICT flag: dead-reckon, no update
+    init_sampling: str = "topk"  # new-feature candidate selection: "topk"
+    # (detector score, deterministic) | "weighted" (the reference's
+    # Gaussian-center-weighted sampling without replacement,
+    # Weighted_Smpl_wo_replacement.m, as Gumbel top-k)
     vo_noise_from_covariance: bool = True  # IFT VO covariance as process
     # noise (instead of the reference's fixed constant)
 
@@ -99,7 +103,7 @@ def slam_step(
     image: jnp.ndarray | None = None,  # [H, W] — required for ncc_warp
     xyz_img: jnp.ndarray | None = None,  # [H, W, 3]
 ) -> tuple[EkfState, StepStats]:
-    kv, kr = jax.random.split(key)
+    kv, kr, ka = jax.random.split(key, 3)
 
     # 1. VO control input + prediction. Process noise = estimated VO
     # covariance (vo/covariance.py, mapped [dt,dω]→[dX,dq]) plus the
@@ -199,6 +203,7 @@ def slam_step(
         n_measured=jnp.sum(measured),
         max_adds=cfg.max_adds, min_measured=cfg.min_measured,
         std_pxl=cfg.std_z, image=image,
+        sampling=cfg.init_sampling, key=ka,
     )
 
     stats = StepStats(
@@ -240,6 +245,7 @@ def run_slam(
     state0 = init_state(n_landmarks=n_landmarks, desc_dim=desc_dim)
 
     # Bootstrap the map from frame 0 (initialize_features at step 0).
+    kboot, key = jax.random.split(key)
     first = jax.tree.map(lambda x: x[0], feats)
     obs0 = predict_measurements(cam_model, state0, std_z=cfg.std_z)
     state0 = add_features(
@@ -248,6 +254,7 @@ def run_slam(
         max_adds=cfg.max_adds * 4, min_measured=cfg.min_measured,
         std_pxl=cfg.std_z,
         image=None if images is None else images[0],
+        sampling=cfg.init_sampling, key=kboot,
     )
 
     keys = jax.random.split(key, n_frames - 1)

@@ -94,6 +94,21 @@ class OnlineSlam:
         # [D, D] covariance allocation is reused every step instead of
         # reallocated.
         self._jstep = jax.jit(step, donate_argnums=(0,))
+
+        def boot(state, feats, image):
+            obs0 = predict_measurements(cam, state, std_z=cfg.std_z)
+            return add_features(
+                cam, state, feats, obs0.h, jnp.asarray(0, jnp.int32),
+                n_measured=jnp.asarray(0, jnp.int32),
+                max_adds=cfg.max_adds * 4,
+                min_measured=cfg.min_measured,
+                std_pxl=cfg.std_z,
+                image=image,
+            )
+
+        # jitted: the eager form dispatches thousands of primitives
+        # one-by-one, which is pathological on a remote-tunneled device
+        self._jboot = jax.jit(boot)
         self.state: EkfState | None = None
         self._prev: Features | None = None
         self.step_i = 0
@@ -115,15 +130,8 @@ class OnlineSlam:
         self.state = init_state(
             n_landmarks=self.n_landmarks, desc_dim=feats.desc.shape[-1]
         )
-        obs0 = predict_measurements(self.cam, self.state,
-                                    std_z=self.cfg.std_z)
-        self.state = add_features(
-            self.cam, self.state, feats, obs0.h, jnp.asarray(0, jnp.int32),
-            n_measured=jnp.asarray(0, jnp.int32),
-            max_adds=self.cfg.max_adds * 4,
-            min_measured=self.cfg.min_measured,
-            std_pxl=self.cfg.std_z,
-            image=img if self._needs_image else None,
+        self.state = self._jboot(
+            self.state, feats, img if self._needs_image else None
         )
 
     def process(self, intensity, xyz, confidence) -> StepResult:

@@ -1,10 +1,18 @@
 """Stage-level wall-clock breakdown of the headline SLAM benchmark.
 
 Times each stage of the bench.py pipeline separately on the current
-backend (TPU when available): frontend SIFT, VO-only scan, EKF-SLAM scan
-under several SlamConfig ablations (only_predict / pure_ekf / 1pre,
-vo covariance on/off). Prints a JSON dict of seconds-per-frame so hot
-spots are attributable before optimizing.
+backend (TPU when available): frontend SIFT/FAST, VO-only scan, and the
+EKF-SLAM scan at the reference operating point (min_measured=50,
+mono_slam.m:91) for both map capacities (K=64, K=256), under SlamConfig
+ablations (only_predict / pure_ekf / 1pre, vo covariance on/off, RANSAC
+batch sizes). Prints a JSON dict of ms-per-frame so hot spots are
+attributable before optimizing.
+
+All timed calls are jitted device programs (run_slam and run_sequence are
+jit-decorated with static configs; the frontends are jitted here), so the
+stage times are in the same execution mode as bench.py's headline —
+per-op eager dispatch never pollutes the attribution (advisor finding,
+round 1).
 """
 
 import json
@@ -21,15 +29,16 @@ from pre3_tpu.geometry.camera import sr4000_camera
 from pre3_tpu.vo.dead_reckoning import run_sequence
 
 N_FRAMES = 64
+BASE = SlamConfig(min_measured=50)
 
 
 def timeit(fn, *args, reps=3):
     out = fn(*args)
-    jax.tree.leaves(out)[0].block_until_ready()
+    jax.block_until_ready(out)
     t0 = time.time()
     for _ in range(reps):
         out = fn(*args)
-        jax.tree.leaves(out)[0].block_until_ready()
+    jax.block_until_ready(out)
     return out, (time.time() - t0) / reps
 
 
@@ -42,7 +51,8 @@ def main():
     xyz = jnp.asarray(np.nan_to_num(np.stack([f.xyz for f in frames])))
     conf = jnp.asarray(np.stack([f.confidence for f in frames]))
 
-    res = {"backend": jax.default_backend(), "n_frames": N_FRAMES}
+    res = {"backend": jax.default_backend(), "n_frames": N_FRAMES,
+           "min_measured": BASE.min_measured}
 
     # frontend alone
     fe_sift = jax.jit(
@@ -73,19 +83,20 @@ def main():
     res["vo_scan_ms_per_frame"] = 1e3 * dt / N_FRAMES
     print("vo_scan", res["vo_scan_ms_per_frame"], flush=True)
 
-    # EKF-SLAM scan on precomputed SIFT features, config ablations
-    for name, cfg in [
-        ("slam_1pre", SlamConfig()),
-        ("slam_only_predict", SlamConfig(only_predict=True)),
-        ("slam_pure_ekf", SlamConfig(est_method="pure_ekf")),
-        ("slam_no_vocov", SlamConfig(vo_noise_from_covariance=False)),
-        ("slam_vob256", SlamConfig(vo_batch=256)),
-        ("slam_rb128", SlamConfig(ransac_batch=128)),
+    # EKF-SLAM scan on precomputed SIFT features: capacities × ablations
+    for name, cfg, k in [
+        ("slam_1pre_k64", BASE, 64),
+        ("slam_1pre_k256", BASE, 256),
+        ("slam_only_predict_k256", BASE._replace(only_predict=True), 256),
+        ("slam_pure_ekf_k256", BASE._replace(est_method="pure_ekf"), 256),
+        ("slam_no_vocov_k256",
+         BASE._replace(vo_noise_from_covariance=False), 256),
+        ("slam_rb128_k256", BASE._replace(ransac_batch=128), 256),
     ]:
         try:
             _, dt = timeit(
-                lambda f, c=cfg: run_slam(
-                    cam, f, jax.random.PRNGKey(0), cfg=c, n_landmarks=64
+                lambda f, c=cfg, kk=k: run_slam(
+                    cam, f, jax.random.PRNGKey(0), cfg=c, n_landmarks=kk
                 ),
                 feats,
             )
@@ -95,9 +106,9 @@ def main():
             res[name + "_error"] = repr(e)[:200]
             print(name, "ERROR", repr(e)[:200], flush=True)
 
-    for k, v in res.items():
+    for k2, v in res.items():
         if isinstance(v, float):
-            res[k] = round(v, 3)
+            res[k2] = round(v, 3)
     print(json.dumps(res, indent=1))
 
 
