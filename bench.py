@@ -2,12 +2,27 @@
 
 Headline: full EKF-SLAM frames/s (BASELINE config #3 — the reference's
 flagship mono_slam.m pipeline: SIFT frontend → VO → inverse-depth EKF with
-1-point RANSAC → map management), run as one jitted device program over a
-synthetic SR4000-like sequence (no dataset ships with the reference; the
-synthetic renderer provides ground truth, so the benchmark also reports
-ATE as a correctness guard).
+1-point RANSAC → map management) at the REFERENCE OPERATING POINT:
+min_measured=50 (mono_slam.m:91), 256 landmark slots, a 256-frame
+corridor sequence. One jitted device program (frontend vmapped + lax.scan
+over the EKF) on a synthetic SR4000-like sequence (no dataset ships with
+the reference; the synthetic renderer provides ground truth, so the
+benchmark also reports ATE as a correctness guard).
 
-Secondary (in "extra"): VO dead-reckoning frames/s (config #1).
+In "extra":
+  fps_k64 / fps_k256        — map-capacity scaling (gate: within 2×)
+  per_stage_ms              — measured stage attribution: frontend alone,
+                              plus scan-ablation deltas (only_predict
+                              carries VO+predict+match+map-mgmt; pure_ekf
+                              adds one Kalman update; 1pre adds RANSAC +
+                              rescue + the second update)
+  ba_fps / ba_ate_rmse_m    — config #4: keyframes + Schur BA + smoothing
+  online_fps                — OnlineSlam streaming throughput (per-frame
+                              dispatch, prefetchless inner loop)
+  vo_frames_per_s           — config #1 secondary
+  device_tflops / mxu_util  — XLA cost-analysis FLOPs over measured time;
+                              utilization vs the chip's 197 TFLOP/s bf16
+                              peak (conservative: the pipeline runs f32)
 
 vs_baseline denominator: the reference MATLAB pipeline publishes no
 frames/s (BASELINE.md); BASELINE_FPS below is the MEASURED steady-state
@@ -32,59 +47,182 @@ from pre3_tpu.geometry.camera import sr4000_camera
 from pre3_tpu.vo.dead_reckoning import run_sequence
 
 BASELINE_FPS = 7.96  # measured reference-port fps on this host, see above
-N_FRAMES = 64
-N_LANDMARKS = 64
+N_FRAMES = 256
+N_LANDMARKS = 256  # headline map capacity (reference operating point)
+CFG = SlamConfig(min_measured=50)  # mono_slam.m:91
+BF16_PEAK_TFLOPS = 197.0  # v5e chip peak (pipeline is f32 → conservative)
 
 
 def time_reps(fn, reps=3):
     out = fn(0)
-    jax.tree.leaves(out)[0].block_until_ready()  # compile+warm
+    jax.block_until_ready(out)  # compile+warm
     t0 = time.time()
     for r in range(reps):
         out = fn(r + 1)
-        jax.tree.leaves(out)[0].block_until_ready()
+        jax.block_until_ready(out)
     return out, (time.time() - t0) / reps
 
 
 def main():
     cam = sr4000_camera()
+    # Corridor scene: the trajectory drifts ≈1.5 cm/frame in +x (≈3.8 m
+    # over 256 frames); spread landmarks along the path at the same
+    # per-view density as the round-1 64-frame box scene.
+    drift = 0.03 * 0.5 * N_FRAMES
     frames, traj, scene = render_sequence(
-        n_frames=N_FRAMES, n_points=400, noise=0.004
+        n_frames=N_FRAMES, n_points=832, noise=0.004,
+        x_range=(-1.8, drift + 1.8),
     )
     intensity = jnp.asarray(np.stack([f.intensity for f in frames]))
     xyz = jnp.asarray(np.nan_to_num(np.stack([f.xyz for f in frames])))
     conf = jnp.asarray(np.stack([f.confidence for f in frames]))
     gt = (traj.t - traj.t[0]) @ traj.r[0]
+    extra = {"backend": jax.default_backend(), "n_frames": N_FRAMES,
+             "n_landmarks": N_LANDMARKS, "min_measured": CFG.min_measured}
+    stage = {}
 
-    # ---- headline: full EKF-SLAM (SIFT frontend) ----
-    @jax.jit
-    def slam_pipeline(intensity, xyz, conf, key):
-        feats = jax.vmap(
-            lambda i, x, c: extract_features_sift(i, x, c)
-        )(intensity, xyz, conf)
-        return run_slam(cam, feats, key, n_landmarks=N_LANDMARKS)
+    # ---- frontend alone (stage attribution) ----
+    fe = jax.jit(lambda i, x, c: jax.vmap(extract_features_sift)(i, x, c))
+    feats, fe_dt = time_reps(lambda r: fe(intensity, xyz, conf))
+    stage["frontend_sift"] = 1e3 * fe_dt / N_FRAMES
 
+    # ---- headline: full EKF-SLAM, frontend + scan in ONE program ----
+    def make_pipeline(cfg, k):
+        @jax.jit
+        def pipe(intensity, xyz, conf, key):
+            fs = jax.vmap(extract_features_sift)(intensity, xyz, conf)
+            return run_slam(cam, fs, key, cfg=cfg, n_landmarks=k)
+        return pipe
+
+    head = make_pipeline(CFG, N_LANDMARKS)
     slam_out, slam_dt = time_reps(
-        lambda r: slam_pipeline(intensity, xyz, conf, jax.random.PRNGKey(r))
+        lambda r: head(intensity, xyz, conf, jax.random.PRNGKey(r))
     )
     slam_fps = N_FRAMES / slam_dt
     slam_ate = ate_rmse(np.asarray(slam_out.t), gt, align=False)
+    extra["slam_ate_rmse_m"] = round(float(slam_ate), 4)
+    extra["slam_li_mean"] = round(
+        float(np.asarray(slam_out.stats.n_li).mean()), 2
+    )
+    extra["slam_active_mean"] = round(
+        float(np.asarray(slam_out.stats.n_active).mean()), 1
+    )
+    extra["fps_k256"] = round(slam_fps, 2)
 
-    # ---- secondary: VO dead reckoning (FAST+patch frontend) ----
+    # device-utilization figure from XLA's cost analysis of the compiled
+    # headline program (flops are an HLO estimate; time is measured)
+    try:
+        lowered = head.lower(
+            intensity, xyz, conf, jax.random.PRNGKey(0)
+        ).compile()
+        flops = float(lowered.cost_analysis()
+                      .get("flops", 0.0))
+        if flops > 0:
+            tflops = flops / slam_dt / 1e12
+            extra["device_tflops"] = round(tflops, 2)
+            extra["mxu_util_pct_bf16peak"] = round(
+                100.0 * tflops / BF16_PEAK_TFLOPS, 2
+            )
+    except Exception:  # noqa: BLE001 — cost analysis is best-effort
+        pass
+
+    # ---- map-capacity scaling: K=64 on the same sequence ----
+    k64 = make_pipeline(CFG, 64)
+    _, k64_dt = time_reps(
+        lambda r: k64(intensity, xyz, conf, jax.random.PRNGKey(r))
+    )
+    extra["fps_k64"] = round(N_FRAMES / k64_dt, 2)
+
+    # ---- scan-ablation stage deltas at K=256 (scan only, on feats) ----
+    abl = {}
+    for name, cfg in [
+        ("only_predict", CFG._replace(only_predict=True)),
+        ("pure_ekf", CFG._replace(est_method="pure_ekf")),
+        ("1pre", CFG),
+    ]:
+        run = jax.jit(
+            lambda f, key, c=cfg: run_slam(
+                cam, f, key, cfg=c, n_landmarks=N_LANDMARKS
+            )
+        )
+        _, dt = time_reps(lambda r: run(feats, jax.random.PRNGKey(r)))
+        abl[name] = 1e3 * dt / N_FRAMES
+    stage["vo_predict_match_mgmt"] = abl["only_predict"]
+    stage["ekf_update"] = max(abl["pure_ekf"] - abl["only_predict"], 0.0)
+    stage["ransac_rescue_hi_update"] = max(abl["1pre"] - abl["pure_ekf"], 0.0)
+    extra["per_stage_ms"] = {k: round(v, 3) for k, v in stage.items()}
+
+    # ---- config #4: keyframes + Schur BA + smoothing ----
+    from pre3_tpu.backend.ba import bundle_adjust
+    from pre3_tpu.backend.ekf_ba import ba_problem_from_slam
+    from pre3_tpu.backend.keyframes import select_keyframes
+    from pre3_tpu.backend.smoothing import apply_ba_corrections
+
+    t0 = time.time()
+    ks = select_keyframes(
+        slam_out.t, slam_out.q, jnp.ones(N_FRAMES, bool), max_keyframes=64
+    )
+    prob = ba_problem_from_slam(
+        slam_out, np.asarray(ks.indices), np.asarray(ks.valid),
+        max_landmarks=512,
+    )
+    if prob is not None:
+        res = bundle_adjust(cam, prob, iters=10)
+        sm_t, _ = apply_ba_corrections(
+            slam_out.t, slam_out.q, ks.indices, ks.valid, res.kf_t, res.kf_q
+        )
+        jax.block_until_ready(sm_t)
+        ba_compile_dt = time.time() - t0
+        # steady-state: re-run the already-compiled backend
+        t0 = time.time()
+        res = bundle_adjust(cam, prob, iters=10)
+        sm_t, _ = apply_ba_corrections(
+            slam_out.t, slam_out.q, ks.indices, ks.valid, res.kf_t, res.kf_q
+        )
+        jax.block_until_ready(sm_t)
+        ba_dt = time.time() - t0
+        extra["ba_ate_rmse_m"] = round(
+            float(ate_rmse(np.asarray(sm_t), gt, align=False)), 4
+        )
+        extra["ba_fps"] = round(N_FRAMES / (slam_dt + ba_dt), 2)
+        extra["ba_ms_total"] = round(1e3 * ba_dt, 1)
+        extra["ba_n_keyframes"] = int(ks.n)
+
+    # ---- config #1: VO dead reckoning (FAST+patch frontend) ----
     @jax.jit
     def vo_pipeline(intensity, xyz, conf, key):
-        feats = jax.vmap(
+        fs = jax.vmap(
             lambda i, x, c: extract_features(
                 i, x, c, threshold=0.05, max_features=256
             )
         )(intensity, xyz, conf)
-        return run_sequence(feats, key, batch=1024)
+        return run_sequence(fs, key, batch=1024)
 
     vo_out, vo_dt = time_reps(
         lambda r: vo_pipeline(intensity, xyz, conf, jax.random.PRNGKey(r))
     )
-    vo_fps = N_FRAMES / vo_dt
-    vo_ate = ate_rmse(np.asarray(vo_out.t), gt, align=False)
+    extra["vo_frames_per_s"] = round(N_FRAMES / vo_dt, 2)
+    extra["vo_ate_rmse_m"] = round(
+        float(ate_rmse(np.asarray(vo_out.t), gt, align=False)), 4
+    )
+
+    # ---- online streaming throughput (per-frame dispatch path) ----
+    from pre3_tpu.runtime.online import OnlineSlam
+
+    online = OnlineSlam(
+        cam, cfg=CFG, n_landmarks=N_LANDMARKS, extractor="sift"
+    )
+    # device-resident inputs: measures engine streaming throughput (the
+    # per-frame host→device copy cost is a property of the transport —
+    # PCIe locally, the tunnel here — not of the pipeline)
+    n_online = min(64, N_FRAMES - 2)
+    for i in range(2):  # warm the jits
+        online.process(intensity[i], xyz[i], conf[i])
+    t0 = time.time()
+    for i in range(2, 2 + n_online):
+        r = online.process(intensity[i], xyz[i], conf[i])
+    jax.block_until_ready(r.t)
+    extra["online_fps"] = round(n_online / (time.time() - t0), 2)
 
     print(
         json.dumps(
@@ -93,16 +231,7 @@ def main():
                 "value": round(slam_fps, 2),
                 "unit": "frames/s",
                 "vs_baseline": round(slam_fps / BASELINE_FPS, 2),
-                "extra": {
-                    "backend": jax.default_backend(),
-                    "n_frames": N_FRAMES,
-                    "slam_ate_rmse_m": round(slam_ate, 4),
-                    "slam_li_mean": float(
-                        np.asarray(slam_out.stats.n_li).mean()
-                    ),
-                    "vo_frames_per_s": round(vo_fps, 2),
-                    "vo_ate_rmse_m": round(vo_ate, 4),
-                },
+                "extra": extra,
             }
         )
     )

@@ -189,9 +189,13 @@ def bundle_adjust(
     fixed_first: bool = True,
     depth_weight: float = 50.0,
 ) -> BaResult:
-    """Fixed-iteration damped Gauss-Newton BA (static trip count; a step
-    that increases the cost is rejected, keeping the iteration safe
-    without data-dependent control flow).
+    """Fixed-iteration Levenberg–Marquardt BA (static trip count; a step
+    that increases the cost is rejected and the damping λ is raised ×10,
+    an accepted step lowers it ×0.5 — the classic LM schedule as pure
+    data-flow, no data-dependent control structure). A fixed-damping
+    reject-only loop can stall forever re-computing the same overshooting
+    Gauss-Newton step from a drifted initialization; the λ adaptation
+    guarantees progress.
 
     depth_weight: residual weight of the 3D depth factors in 1/meters
     (default 1/σ with σ = 2 cm), relative to pixel residuals at weight 1.
@@ -210,12 +214,12 @@ def bundle_adjust(
         ) * depth_weight
 
     def gn_step(carry, _):
-        kf_t, kf_q, points = carry
+        kf_t, kf_q, points, lam = carry
         c0 = _cost(cam, kf_t, kf_q, points, problem.obs_uv, problem.mask,
                    obs_xyz, w_xyz_fl)
         hcc, hpp, wcp, bc, bp = _build_normal_eqs(
             cam, kf_t, kf_q, points, problem.obs_uv, problem.mask,
-            obs_xyz, w_xyz_fl, damping,
+            obs_xyz, w_xyz_fl, lam,
         )
         dc, dp = schur_solve(hcc, hpp, wcp, bc, bp, fixed_first)
         t2 = kf_t + dc[:, :3]
@@ -227,10 +231,16 @@ def bundle_adjust(
         kf_t = jnp.where(better, t2, kf_t)
         kf_q = jnp.where(better, q2, kf_q)
         points = jnp.where(better, p2, points)
-        return (kf_t, kf_q, points), jnp.where(better, c1, c0)
+        lam = jnp.where(
+            better,
+            jnp.maximum(lam * 0.5, 1e-8),
+            jnp.minimum(lam * 10.0, 1e6),
+        )
+        return (kf_t, kf_q, points, lam), jnp.where(better, c1, c0)
 
-    init = (problem.kf_t, problem.kf_q, problem.points)
-    (kf_t, kf_q, points), costs = jax.lax.scan(
+    init = (problem.kf_t, problem.kf_q, problem.points,
+            jnp.asarray(damping, problem.kf_t.dtype))
+    (kf_t, kf_q, points, _lam), costs = jax.lax.scan(
         gn_step, init, None, length=iters
     )
     cost0 = _cost(

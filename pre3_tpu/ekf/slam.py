@@ -65,6 +65,10 @@ class SlamConfig(NamedTuple):
     # (detector score, deterministic) | "weighted" (the reference's
     # Gaussian-center-weighted sampling without replacement,
     # Weighted_Smpl_wo_replacement.m, as Gumbel top-k)
+    max_age: int = 20  # landmark lifetime in frames (delete_features.m:41
+    # deletes at age>20 as a stale-SIFT-descriptor workaround, per its own
+    # comment; this engine refreshes descriptors on every match, so larger
+    # lifetimes are sound and cut long-sequence drift — see BASELINE.md)
     vo_noise_from_covariance: bool = True  # IFT VO covariance as process
     # noise (instead of the reference's fixed constant)
 
@@ -194,7 +198,7 @@ def slam_step(
     # features reuses the last available measurement prediction (exact
     # posterior h is not needed for a pixel-distance gate) — saves a full
     # H/S recompute per step.
-    state = delete_features(state, step)
+    state = delete_features(state, step, max_age=cfg.max_age)
     state = convert_to_cartesian(state)
     gate_h = obs2.h if (cfg.est_method == "1pre" and
                         not cfg.only_predict) else obs.h

@@ -89,11 +89,11 @@ def bundle_adjust_sharded(
     rep = P()
 
     def local_step(kf_t, kf_q, points_l, obs_uv_l, mask_l, obs_xyz_l,
-                   w_xyz_l):
+                   w_xyz_l, lam):
         """Runs per device on its landmark shard."""
         hcc, hpp, wcp, bc, bp = _build_normal_eqs(
             cam, kf_t, kf_q, points_l, obs_uv_l, mask_l, obs_xyz_l,
-            w_xyz_l, damping,
+            w_xyz_l, lam,
         )
         # local Schur contribution
         hpp_inv = jnp.linalg.inv(hpp)
@@ -108,7 +108,7 @@ def bundle_adjust_sharded(
         s_full = jax.lax.psum(s_local, axis)
         rhs_full = jax.lax.psum(rhs_local, axis)
         # damping was added on every device: correct to a single copy
-        extra = (n_dev - 1) * damping
+        extra = (n_dev - 1) * lam
         diag_idx = jnp.arange(f)
         s_full = s_full.at[diag_idx, :, diag_idx, :].add(
             -extra * jnp.eye(6)[None]
@@ -136,7 +136,8 @@ def bundle_adjust_sharded(
     sharded = jax.shard_map(
         local_step,
         mesh=mesh,
-        in_specs=(rep, rep, pt_spec, lm_spec, lm_spec, lm_spec, lm_spec),
+        in_specs=(rep, rep, pt_spec, lm_spec, lm_spec, lm_spec, lm_spec,
+                  rep),
         out_specs=(rep, pt_spec),
     )
 
@@ -148,27 +149,35 @@ def bundle_adjust_sharded(
     @jax.jit
     def run(kf_t, kf_q, points, obs_uv, mask, obs_xyz, w_xyz_fl):
         def gn_step(carry, _):
-            kf_t, kf_q, points = carry
+            kf_t, kf_q, points, lam = carry
             c0 = _cost(cam, kf_t, kf_q, points, obs_uv, mask,
                        obs_xyz, w_xyz_fl)
             dc, dp = sharded(
-                kf_t, kf_q, points, obs_uv, mask, obs_xyz, w_xyz_fl,
+                kf_t, kf_q, points, obs_uv, mask, obs_xyz, w_xyz_fl, lam,
             )
             t2 = kf_t + dc[:, :3]
             q2 = qnormalize(qprod(kf_q, v2q(dc[:, 3:])))
             p2 = points + dp
             c1 = _cost(cam, t2, q2, p2, obs_uv, mask, obs_xyz, w_xyz_fl)
             better = c1 < c0
+            # LM damping schedule — identical to backend.ba.bundle_adjust
+            lam = jnp.where(
+                better,
+                jnp.maximum(lam * 0.5, 1e-8),
+                jnp.minimum(lam * 10.0, 1e6),
+            )
             return (
                 jnp.where(better, t2, kf_t),
                 jnp.where(better, q2, kf_q),
                 jnp.where(better, p2, points),
+                lam,
             ), jnp.where(better, c1, c0)
 
         cost0 = _cost(cam, kf_t, kf_q, points, obs_uv, mask, obs_xyz,
                       w_xyz_fl)
-        (t, q, p), costs = jax.lax.scan(
-            gn_step, (kf_t, kf_q, points), None, length=iters
+        lam0 = jnp.asarray(damping, kf_t.dtype)
+        (t, q, p, _lam), costs = jax.lax.scan(
+            gn_step, (kf_t, kf_q, points, lam0), None, length=iters
         )
         # gather the landmark shards so every process can read the result
         p = jax.lax.with_sharding_constraint(p, NamedSharding(mesh, P()))

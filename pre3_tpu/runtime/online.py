@@ -84,16 +84,21 @@ class OnlineSlam:
             raise ValueError(f"unknown extractor {extractor!r}")
         self._needs_image = cfg.matcher == "ncc_warp"
 
-        def step(state, frame, prev, step_i, k, image, xyz_img):
-            return slam_step(
-                cam, state, frame, prev, step_i, k, cfg,
+        def step(state, key, frame, prev, step_i, image, xyz_img):
+            # key chaining and pose extraction live INSIDE the program:
+            # one dispatch per frame, no eager split/slice round-trips
+            # (each eager op costs a full tunnel RTT on remote devices)
+            key, sub = jax.random.split(key)
+            state, (stats, _record) = slam_step(
+                cam, state, frame, prev, step_i, sub, cfg,
                 image=image, xyz_img=xyz_img,
             )
+            return state, key, state.x[0:3], state.x[3:7], stats
 
         # Donating the state aliases its input/output buffers so the
         # [D, D] covariance allocation is reused every step instead of
         # reallocated.
-        self._jstep = jax.jit(step, donate_argnums=(0,))
+        self._jstep = jax.jit(step, donate_argnums=(0, 1))
 
         def boot(state, feats, image):
             obs0 = predict_measurements(cam, state, std_z=cfg.std_z)
@@ -118,7 +123,10 @@ class OnlineSlam:
 
     def _extract(self, intensity, xyz, confidence):
         img = jnp.asarray(intensity, jnp.float32)
-        xyzj = jnp.asarray(np.nan_to_num(np.asarray(xyz)), jnp.float32)
+        # NaN handling happens inside the jitted extractors; a host-side
+        # nan_to_num here would force device→host→device round trips when
+        # the caller feeds device-resident arrays.
+        xyzj = jnp.asarray(xyz, jnp.float32)
         conf = jnp.asarray(confidence, jnp.float32)
         with self.timer.stage("frontend"):
             feats = self._featurize(img, xyzj, conf)
@@ -145,10 +153,9 @@ class OnlineSlam:
                 None,
             )
         else:
-            self._key, sub = jax.random.split(self._key)
             args = (
-                self.state, feats, self._prev,
-                jnp.asarray(self.step_i, jnp.int32), sub,
+                self.state, self._key, feats, self._prev,
+                jnp.asarray(self.step_i, jnp.int32),
                 img if self._needs_image else None,
                 xyzj if self._needs_image else None,
             )
@@ -158,12 +165,10 @@ class OnlineSlam:
                 # the compiled program's buffer list is exactly the
                 # arguments and this dispatch stays valid across
                 # snapshot/resume with no recompile workaround.
-                self.state, (stats, _record) = self._jstep(*args)
+                self.state, self._key, t, q, stats = self._jstep(*args)
                 if self.sync:
                     jax.block_until_ready(self.state.x)
-            res = StepResult(
-                self.step_i, self.state.x[0:3], self.state.x[3:7], stats
-            )
+            res = StepResult(self.step_i, t, q, stats)
         self._prev = feats
         self.step_i += 1
         self.results.append(res)
