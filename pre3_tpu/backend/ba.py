@@ -46,6 +46,16 @@ class BaProblem(NamedTuple):
     # priors do for the EKF (initialize_a_feature_sift_3.m:116).
     obs_xyz: jnp.ndarray | None = None  # [F, L, 3]
     mask_xyz: jnp.ndarray | None = None  # [F, L]
+    # Optional odometry factors between CONSECUTIVE keyframes: the
+    # relative pose measured by the front filter / VO chain. Without
+    # them, BA re-estimates poses from raw landmark factors alone and
+    # throws away the motion prior the filter accumulated — on
+    # loop-closure-free sequences that reliably makes the global
+    # trajectory WORSE even as the landmark cost drops (measured:
+    # BASELINE.md round 2). With them this is a proper fixed-lag
+    # smoother: pose-graph chain + landmark factors.
+    odo_t: jnp.ndarray | None = None  # [F-1, 3] R_iᵀ(t_{i+1}−t_i)
+    odo_q: jnp.ndarray | None = None  # [F-1, 4] q_i⁻¹ ⊗ q_{i+1}
 
 
 class BaResult(NamedTuple):
@@ -70,6 +80,60 @@ def _residual_one(
     r_px = (distort(cam, project_point(cam, p_cam)) - uv) * w_px
     r_xyz = (p_cam - xyz) * w_xyz
     return jnp.concatenate([r_px, r_xyz])
+
+
+def _odo_residual(ti, qi, tj, qj, dxi, dxj, ot, oq, w_t, w_r):
+    """[6] relative-pose residual between adjacent keyframes with manifold
+    increments dxi/dxj = [dt, dθ]: translation residual in frame i, and
+    the rotation-vector of the orientation error."""
+    from pre3_tpu.geometry.quaternion import q2v
+
+    t1, q1 = ti + dxi[:3], qprod(qi, v2q(dxi[3:]))
+    t2, q2 = tj + dxj[:3], qprod(qj, v2q(dxj[3:]))
+    r_t = (qrotate(qconj(q1), t2 - t1) - ot) * w_t
+    r_r = q2v(qprod(qconj(oq), qprod(qconj(q1), q2))) * w_r
+    return jnp.concatenate([r_t, r_r])
+
+
+def _odo_terms(kf_t, kf_q, odo_t, odo_q, w_t, w_r):
+    """Gauss-Newton contribution of the keyframe odometry chain. These
+    factors couple only adjacent CAMERA poses, so they add directly to the
+    Schur-reduced camera system (no landmark elimination involved).
+    Returns (s_add [F,6,F,6], rhs_add [F,6], cost_sum, n_factors)."""
+    f = kf_t.shape[0]
+    zero6 = jnp.zeros(6)
+
+    def per_pair(ti, qi, tj, qj, ot, oq):
+        args = (ot, oq, w_t, w_r)
+        r = _odo_residual(ti, qi, tj, qj, zero6, zero6, *args)
+        ji = jax.jacfwd(
+            lambda d: _odo_residual(ti, qi, tj, qj, d, zero6, *args)
+        )(zero6)  # [6, 6]
+        jj = jax.jacfwd(
+            lambda d: _odo_residual(ti, qi, tj, qj, zero6, d, *args)
+        )(zero6)  # [6, 6]
+        return r, ji, jj
+
+    r, ji, jj = jax.vmap(per_pair)(
+        kf_t[:-1], kf_q[:-1], kf_t[1:], kf_q[1:], odo_t, odo_q
+    )  # [F-1, ...]
+    i_idx = jnp.arange(f - 1)
+    s_add = jnp.zeros((f, 6, f, 6))
+    s_add = s_add.at[i_idx, :, i_idx, :].add(
+        jnp.einsum("pab,pac->pbc", ji, ji)
+    )
+    s_add = s_add.at[i_idx + 1, :, i_idx + 1, :].add(
+        jnp.einsum("pab,pac->pbc", jj, jj)
+    )
+    cross = jnp.einsum("pab,pac->pbc", ji, jj)  # [F-1, 6, 6]
+    s_add = s_add.at[i_idx, :, i_idx + 1, :].add(cross)
+    s_add = s_add.at[i_idx + 1, :, i_idx, :].add(
+        jnp.swapaxes(cross, -1, -2)
+    )
+    rhs_add = jnp.zeros((f, 6))
+    rhs_add = rhs_add.at[i_idx].add(-jnp.einsum("pab,pa->pb", ji, r))
+    rhs_add = rhs_add.at[i_idx + 1].add(-jnp.einsum("pab,pa->pb", jj, r))
+    return s_add, rhs_add, jnp.sum(r * r), f - 1
 
 
 def _build_normal_eqs(cam, kf_t, kf_q, points, obs_uv, mask,
@@ -121,10 +185,13 @@ def _build_normal_eqs(cam, kf_t, kf_q, points, obs_uv, mask,
     return hcc, hpp, wcp, bc, bp
 
 
-def schur_solve(hcc, hpp, wcp, bc, bp, fixed_first: bool = True):
+def schur_solve(hcc, hpp, wcp, bc, bp, fixed_first: bool = True,
+                s_extra=None, rhs_extra=None):
     """Eliminate landmarks, solve the reduced camera system, back-substitute.
 
-    Returns (dc [F, 6], dp [L, 3]).
+    s_extra/rhs_extra: optional camera-camera factor contributions (the
+    odometry chain, _odo_terms) added to the reduced system before the
+    gauge fix. Returns (dc [F, 6], dp [L, 3]).
     """
     f = hcc.shape[0]
     l = hpp.shape[0]
@@ -134,6 +201,9 @@ def schur_solve(hcc, hpp, wcp, bc, bp, fixed_first: bool = True):
     s = -whw
     s = s.at[jnp.arange(f), :, jnp.arange(f), :].add(hcc)
     rhs = bc - jnp.einsum("flab,lbc,lc->fa", wcp, hpp_inv, bp)  # [F, 6]
+    if s_extra is not None:
+        s = s + s_extra
+        rhs = rhs + rhs_extra
 
     if fixed_first:
         # gauge fix: freeze keyframe 0 by zeroing its rows/cols and
@@ -159,7 +229,10 @@ def schur_solve(hcc, hpp, wcp, bc, bp, fixed_first: bool = True):
 
 
 def _cost(cam, kf_t, kf_q, points, obs_uv, mask, obs_xyz, w_xyz_fl,
-          huber_delta=3.0):
+          huber_delta=3.0, odo=None):
+    """Masked mean factor cost. odo = (odo_t, odo_q, w_t, w_r) adds the
+    keyframe odometry-chain residuals (quadratic, not Huberized — the
+    filter's own motion estimate has no gross outliers)."""
     zero6 = jnp.zeros(6)
     w_px_fl = mask.astype(obs_uv.dtype)
     r = jax.vmap(
@@ -177,7 +250,18 @@ def _cost(cam, kf_t, kf_q, points, obs_uv, mask, obs_xyz, w_xyz_fl,
         huber_delta * (2.0 * rn - huber_delta),
     )
     n = jnp.sum(mask) + jnp.sum(w_xyz_fl > 0)
-    return jnp.sum(rho) / jnp.maximum(n, 1)
+    total = jnp.sum(rho)
+    if odo is not None:
+        odo_t, odo_q, w_t, w_r = odo
+        zero6 = jnp.zeros(6)
+        ro = jax.vmap(
+            lambda ti, qi, tj, qj, ot, oq: _odo_residual(
+                ti, qi, tj, qj, zero6, zero6, ot, oq, w_t, w_r
+            )
+        )(kf_t[:-1], kf_q[:-1], kf_t[1:], kf_q[1:], odo_t, odo_q)
+        total = total + jnp.sum(ro * ro)
+        n = n + odo_t.shape[0]
+    return total / jnp.maximum(n, 1)
 
 
 @partial(jax.jit, static_argnames=("iters", "fixed_first"))
@@ -188,6 +272,8 @@ def bundle_adjust(
     damping: float = 1e-3,
     fixed_first: bool = True,
     depth_weight: float = 50.0,
+    odo_weight_t: float = 20.0,
+    odo_weight_r: float = 50.0,
 ) -> BaResult:
     """Fixed-iteration Levenberg–Marquardt BA (static trip count; a step
     that increases the cost is rejected and the damping λ is raised ×10,
@@ -199,8 +285,15 @@ def bundle_adjust(
 
     depth_weight: residual weight of the 3D depth factors in 1/meters
     (default 1/σ with σ = 2 cm), relative to pixel residuals at weight 1.
+    odo_weight_t / odo_weight_r: weights of the keyframe odometry-chain
+    factors (1/meters, 1/radians) when problem.odo_t/odo_q are given —
+    σ = 5 cm translation, ~1.1° rotation between keyframes.
     """
     f, l = problem.mask.shape
+    odo = (
+        (problem.odo_t, problem.odo_q, odo_weight_t, odo_weight_r)
+        if problem.odo_t is not None else None
+    )
     if problem.obs_xyz is None:
         obs_xyz = jnp.zeros((f, l, 3), problem.obs_uv.dtype)
         w_xyz_fl = jnp.zeros((f, l), problem.obs_uv.dtype)
@@ -216,17 +309,25 @@ def bundle_adjust(
     def gn_step(carry, _):
         kf_t, kf_q, points, lam = carry
         c0 = _cost(cam, kf_t, kf_q, points, problem.obs_uv, problem.mask,
-                   obs_xyz, w_xyz_fl)
+                   obs_xyz, w_xyz_fl, odo=odo)
         hcc, hpp, wcp, bc, bp = _build_normal_eqs(
             cam, kf_t, kf_q, points, problem.obs_uv, problem.mask,
             obs_xyz, w_xyz_fl, lam,
         )
-        dc, dp = schur_solve(hcc, hpp, wcp, bc, bp, fixed_first)
+        if odo is not None:
+            s_extra, rhs_extra, _, _ = _odo_terms(
+                kf_t, kf_q, problem.odo_t, problem.odo_q,
+                odo_weight_t, odo_weight_r,
+            )
+        else:
+            s_extra = rhs_extra = None
+        dc, dp = schur_solve(hcc, hpp, wcp, bc, bp, fixed_first,
+                             s_extra, rhs_extra)
         t2 = kf_t + dc[:, :3]
         q2 = qnormalize(qprod(kf_q, v2q(dc[:, 3:])))
         p2 = points + dp
         c1 = _cost(cam, t2, q2, p2, problem.obs_uv, problem.mask,
-                   obs_xyz, w_xyz_fl)
+                   obs_xyz, w_xyz_fl, odo=odo)
         better = c1 < c0
         kf_t = jnp.where(better, t2, kf_t)
         kf_q = jnp.where(better, q2, kf_q)
@@ -245,7 +346,7 @@ def bundle_adjust(
     )
     cost0 = _cost(
         cam, problem.kf_t, problem.kf_q, problem.points, problem.obs_uv,
-        problem.mask, obs_xyz, w_xyz_fl,
+        problem.mask, obs_xyz, w_xyz_fl, odo=odo,
     )
     return BaResult(
         kf_t=kf_t, kf_q=kf_q, points=points,

@@ -102,12 +102,33 @@ def ba_problem_from_slam(
 
     mask &= have_init[None]
     has_depth = np.linalg.norm(obs_xyz, axis=-1) > 0.2
+
+    # Odometry-chain factors between consecutive keyframes: the filter's
+    # own relative motion (t in frame i, q_i⁻¹⊗q_{i+1}). These carry the
+    # motion prior into the BA cost, making it a fixed-lag smoother
+    # instead of a from-scratch re-estimation (backend/ba.py::BaProblem).
+    from pre3_tpu.geometry.quaternion import qconj, qprod
+
+    kt = t_all[kf_indices]
+    kq = q_all[kf_indices]
+    odo_t = np.stack([
+        np.asarray(qrotate(qconj(jnp.asarray(kq[i])),
+                           jnp.asarray(kt[i + 1] - kt[i])))
+        for i in range(m - 1)
+    ]).astype(np.float32) if m > 1 else np.zeros((0, 3), np.float32)
+    odo_q = np.stack([
+        np.asarray(qprod(qconj(jnp.asarray(kq[i])), jnp.asarray(kq[i + 1])))
+        for i in range(m - 1)
+    ]).astype(np.float32) if m > 1 else np.zeros((0, 4), np.float32)
+
     return BaProblem(
         obs_uv=jnp.asarray(obs_uv),
         mask=jnp.asarray(mask),
-        kf_t=jnp.asarray(t_all[kf_indices]),
-        kf_q=jnp.asarray(q_all[kf_indices]),
+        kf_t=jnp.asarray(kt),
+        kf_q=jnp.asarray(kq),
         points=jnp.asarray(points),
         obs_xyz=jnp.asarray(obs_xyz),
         mask_xyz=jnp.asarray(mask & has_depth),
+        odo_t=jnp.asarray(odo_t),
+        odo_q=jnp.asarray(odo_q),
     )
