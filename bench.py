@@ -53,13 +53,24 @@ CFG = SlamConfig(min_measured=50)  # mono_slam.m:91
 BF16_PEAK_TFLOPS = 197.0  # v5e chip peak (pipeline is f32 → conservative)
 
 
+def _sync(out):
+    """Force completion: block AND fetch one output leaf. Through the
+    remote-device tunnel, block_until_ready alone can return before the
+    program actually finishes (measured: identical-args re-dispatches
+    appear to take ~0.1 ms); a host fetch of any output buffer of the
+    program is an unfakeable completion barrier."""
+    jax.block_until_ready(out)
+    leaf = jax.tree.leaves(out)[0]
+    np.asarray(leaf.ravel()[0] if hasattr(leaf, "ravel") else leaf)
+
+
 def time_reps(fn, reps=3):
     out = fn(0)
-    jax.block_until_ready(out)  # compile+warm
+    _sync(out)  # compile+warm
     t0 = time.time()
     for r in range(reps):
         out = fn(r + 1)
-        jax.block_until_ready(out)
+        _sync(out)
     return out, (time.time() - t0) / reps
 
 
@@ -73,6 +84,34 @@ def main():
         n_frames=N_FRAMES, n_points=832, noise=0.004,
         x_range=(-1.8, drift + 1.8),
     )
+
+    # ---- reference-port head-to-head on the SAME corridor (host CPU) ----
+    # The NumPy port of mono_slam.m runs concurrently in a host thread
+    # while the TPU sections execute; its ATE at bench length is the
+    # accuracy bound the engine must meet or beat, and its fps is the
+    # honest same-sequence baseline denominator. Skip: PRE3_REF_PORT=0.
+    import os
+    import threading
+
+    ref_result = {}
+
+    def _ref_port():
+        from pre3_tpu.eval.reference_port import run_reference_slam
+
+        est, times = run_reference_slam(frames, min_measured=50)
+        g = (np.asarray(traj.t) - np.asarray(traj.t[0])) @ np.asarray(
+            traj.r[0]
+        )
+        ref_result["ate"] = float(np.sqrt(np.mean(
+            np.sum((est - g[: len(est)]) ** 2, axis=1)
+        )))
+        warm = times[N_FRAMES // 4:]
+        ref_result["fps"] = 1.0 / float(np.mean(warm))
+
+    ref_thread = None
+    if os.environ.get("PRE3_REF_PORT", "1") != "0":
+        ref_thread = threading.Thread(target=_ref_port, daemon=True)
+        ref_thread.start()
     intensity = jnp.asarray(np.stack([f.intensity for f in frames]))
     xyz = jnp.asarray(np.nan_to_num(np.stack([f.xyz for f in frames])))
     conf = jnp.asarray(np.stack([f.confidence for f in frames]))
@@ -212,17 +251,38 @@ def main():
     online = OnlineSlam(
         cam, cfg=CFG, n_landmarks=N_LANDMARKS, extractor="sift"
     )
-    # device-resident inputs: measures engine streaming throughput (the
-    # per-frame host→device copy cost is a property of the transport —
-    # PCIe locally, the tunnel here — not of the pipeline)
+    # device-resident inputs, PRE-SLICED before the timed loop: measures
+    # engine streaming throughput (per-frame host→device copies are a
+    # property of the transport — PCIe locally, the tunnel here — and an
+    # eager slice per frame would add a dispatch round-trip that is not
+    # part of the pipeline either)
     n_online = min(64, N_FRAMES - 2)
+    frames_dev = [
+        (intensity[i], xyz[i], conf[i]) for i in range(2 + n_online)
+    ]
+    jax.block_until_ready(frames_dev)
     for i in range(2):  # warm the jits
-        online.process(intensity[i], xyz[i], conf[i])
+        online.process(frames_dev[i][0], frames_dev[i][1], frames_dev[i][2])
+    np.asarray(online.results[-1].t)
     t0 = time.time()
     for i in range(2, 2 + n_online):
-        r = online.process(intensity[i], xyz[i], conf[i])
-    jax.block_until_ready(r.t)
-    extra["online_fps"] = round(n_online / (time.time() - t0), 2)
+        r = online.process(frames_dev[i][0], frames_dev[i][1],
+                           frames_dev[i][2])
+    dispatch_s = time.time() - t0  # host loop time, nothing forced yet
+    np.asarray(r.t)  # fetch the last pose = full-pipeline completion
+    total_s = time.time() - t0
+    extra["online_fps"] = round(n_online / total_s, 2)
+    extra["online_dispatch_ms"] = round(1e3 * dispatch_s / n_online, 3)
+    extra["online_ms_per_frame"] = round(1e3 * total_s / n_online, 3)
+
+    if ref_thread is not None:
+        ref_thread.join(timeout=600)
+        if "ate" in ref_result:
+            extra["ref_port_ate_rmse_m"] = round(ref_result["ate"], 4)
+            extra["ref_port_fps_same_seq"] = round(ref_result["fps"], 2)
+            extra["ate_vs_ref_port"] = round(
+                extra["slam_ate_rmse_m"] / max(ref_result["ate"], 1e-9), 3
+            )
 
     print(
         json.dumps(

@@ -56,6 +56,8 @@ class BaProblem(NamedTuple):
     # smoother: pose-graph chain + landmark factors.
     odo_t: jnp.ndarray | None = None  # [F-1, 3] R_iᵀ(t_{i+1}−t_i)
     odo_q: jnp.ndarray | None = None  # [F-1, 4] q_i⁻¹ ⊗ q_{i+1}
+    odo_w: jnp.ndarray | None = None  # [F-1] per-pair weight (0 disables a
+    # factor — e.g. pairs touching padded/invalid keyframe slots)
 
 
 class BaResult(NamedTuple):
@@ -95,16 +97,17 @@ def _odo_residual(ti, qi, tj, qj, dxi, dxj, ot, oq, w_t, w_r):
     return jnp.concatenate([r_t, r_r])
 
 
-def _odo_terms(kf_t, kf_q, odo_t, odo_q, w_t, w_r):
+def _odo_terms(kf_t, kf_q, odo_t, odo_q, w_t, w_r, odo_w=None):
     """Gauss-Newton contribution of the keyframe odometry chain. These
     factors couple only adjacent CAMERA poses, so they add directly to the
     Schur-reduced camera system (no landmark elimination involved).
+    odo_w [F-1] scales each pair's residual (0 = factor disabled).
     Returns (s_add [F,6,F,6], rhs_add [F,6], cost_sum, n_factors)."""
     f = kf_t.shape[0]
     zero6 = jnp.zeros(6)
 
-    def per_pair(ti, qi, tj, qj, ot, oq):
-        args = (ot, oq, w_t, w_r)
+    def per_pair(ti, qi, tj, qj, ot, oq, w):
+        args = (ot, oq, w_t * w, w_r * w)
         r = _odo_residual(ti, qi, tj, qj, zero6, zero6, *args)
         ji = jax.jacfwd(
             lambda d: _odo_residual(ti, qi, tj, qj, d, zero6, *args)
@@ -114,8 +117,10 @@ def _odo_terms(kf_t, kf_q, odo_t, odo_q, w_t, w_r):
         )(zero6)  # [6, 6]
         return r, ji, jj
 
+    if odo_w is None:
+        odo_w = jnp.ones(f - 1, kf_t.dtype)
     r, ji, jj = jax.vmap(per_pair)(
-        kf_t[:-1], kf_q[:-1], kf_t[1:], kf_q[1:], odo_t, odo_q
+        kf_t[:-1], kf_q[:-1], kf_t[1:], kf_q[1:], odo_t, odo_q, odo_w
     )  # [F-1, ...]
     i_idx = jnp.arange(f - 1)
     s_add = jnp.zeros((f, 6, f, 6))
@@ -252,15 +257,15 @@ def _cost(cam, kf_t, kf_q, points, obs_uv, mask, obs_xyz, w_xyz_fl,
     n = jnp.sum(mask) + jnp.sum(w_xyz_fl > 0)
     total = jnp.sum(rho)
     if odo is not None:
-        odo_t, odo_q, w_t, w_r = odo
+        odo_t, odo_q, w_t, w_r, odo_w = odo
         zero6 = jnp.zeros(6)
         ro = jax.vmap(
-            lambda ti, qi, tj, qj, ot, oq: _odo_residual(
-                ti, qi, tj, qj, zero6, zero6, ot, oq, w_t, w_r
+            lambda ti, qi, tj, qj, ot, oq, w: _odo_residual(
+                ti, qi, tj, qj, zero6, zero6, ot, oq, w_t * w, w_r * w
             )
-        )(kf_t[:-1], kf_q[:-1], kf_t[1:], kf_q[1:], odo_t, odo_q)
+        )(kf_t[:-1], kf_q[:-1], kf_t[1:], kf_q[1:], odo_t, odo_q, odo_w)
         total = total + jnp.sum(ro * ro)
-        n = n + odo_t.shape[0]
+        n = n + jnp.sum(odo_w > 0)
     return total / jnp.maximum(n, 1)
 
 
@@ -290,8 +295,12 @@ def bundle_adjust(
     σ = 5 cm translation, ~1.1° rotation between keyframes.
     """
     f, l = problem.mask.shape
+    odo_w = (
+        problem.odo_w if problem.odo_w is not None
+        else jnp.ones(f - 1, problem.kf_t.dtype)
+    )
     odo = (
-        (problem.odo_t, problem.odo_q, odo_weight_t, odo_weight_r)
+        (problem.odo_t, problem.odo_q, odo_weight_t, odo_weight_r, odo_w)
         if problem.odo_t is not None else None
     )
     if problem.obs_xyz is None:
@@ -317,7 +326,7 @@ def bundle_adjust(
         if odo is not None:
             s_extra, rhs_extra, _, _ = _odo_terms(
                 kf_t, kf_q, problem.odo_t, problem.odo_q,
-                odo_weight_t, odo_weight_r,
+                odo_weight_t, odo_weight_r, odo_w,
             )
         else:
             s_extra = rhs_extra = None

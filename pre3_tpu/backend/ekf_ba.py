@@ -120,6 +120,10 @@ def ba_problem_from_slam(
         np.asarray(qprod(qconj(jnp.asarray(kq[i])), jnp.asarray(kq[i + 1])))
         for i in range(m - 1)
     ]).astype(np.float32) if m > 1 else np.zeros((0, 4), np.float32)
+    # zero-weight factors touching padded/invalid keyframe slots —
+    # select_keyframes pads invalid slots with the last frame's index, and
+    # a live factor there would tie free padded pose variables to it
+    odo_w = (kf_valid[:-1] & kf_valid[1:]).astype(np.float32)
 
     return BaProblem(
         obs_uv=jnp.asarray(obs_uv),
@@ -131,4 +135,5 @@ def ba_problem_from_slam(
         mask_xyz=jnp.asarray(mask & has_depth),
         odo_t=jnp.asarray(odo_t),
         odo_q=jnp.asarray(odo_q),
+        odo_w=jnp.asarray(odo_w),
     )

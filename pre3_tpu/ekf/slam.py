@@ -144,8 +144,11 @@ def slam_step(
             raise ValueError("matcher='ncc_warp' needs the intensity image")
         from pre3_tpu.ekf.ncc_matching import search_ic_matches_ncc
 
+        # sanitize on-device: raw SR4000 xyz has NaN background pixels and
+        # bilinear sampling over them would poison inlier z_xyz records
         obs = search_ic_matches_ncc(
-            cam_model, obs, state, image, xyz_img=xyz_img,
+            cam_model, obs, state, image,
+            xyz_img=None if xyz_img is None else jnp.nan_to_num(xyz_img),
             ncc_threshold=cfg.ncc_threshold,
         )
     else:

@@ -339,29 +339,39 @@ def _descriptors_dense(
         for l in range(n_lev)
     ])  # [L, H, W, 8]
 
-    # 3. sample each keypoint's 4×4 bin centers (bilinear, 8-vector taps)
+    # 3. sample each keypoint's 4×4 bin centers. The bilinear gather is
+    # reformulated as two one-hot contractions — a [K·16, L·W] × [L·W, H·8]
+    # matmul (level+column taps) followed by a row-tap reduce — because a
+    # [K, 16, 8]-shaped random gather lowers to serialized dynamic-slices
+    # on TPU (measured 1.3 ms/frame) while the matmul rides the MXU.
     centers = jnp.arange(NBP, dtype=mag.dtype) - (NBP - 1) / 2.0
     gx, gy = jnp.meshgrid(centers, centers, indexing="xy")
     gxy = jnp.stack([gx.ravel(), gy.ravel()], axis=-1)  # [16, 2] bin units
     delta_k = (MAGNIF * sigma)[:, None]  # [K, 1] px per bin
     u = c_f[:, None] + gxy[None, :, 0] * delta_k  # [K, 16]
     v = r_f[:, None] + gxy[None, :, 1] * delta_k
-    u = jnp.clip(u, 0.0, w - 1.001)
-    v = jnp.clip(v, 0.0, h - 1.001)
+    u = jnp.clip(u, 0.0, w - 1.001).reshape(-1)  # [K·16]
+    v = jnp.clip(v, 0.0, h - 1.001).reshape(-1)
     u0 = jnp.floor(u).astype(jnp.int32)
     v0 = jnp.floor(v).astype(jnp.int32)
-    du = (u - u0)[..., None]
-    dv = (v - v0)[..., None]
-    flat = binned.reshape(-1, NBO)  # [L·H·W, 8]
-    base = (level[:, None] * h + v0) * w + u0  # [K, 16]
-
-    def at(off):
-        return flat[base + off]  # [K, 16, 8]
-
-    samp = (
-        at(0) * (1 - du) * (1 - dv) + at(1) * du * (1 - dv)
-        + at(w) * (1 - du) * dv + at(w + 1) * du * dv
-    )
+    du = u - u0
+    dv = v - v0
+    x = u.shape[0]  # K·16
+    lvl_w = jnp.repeat(level, 16) * w  # [K·16] level offset in L·W
+    cols = jnp.arange(n_lev * w, dtype=jnp.int32)[None]  # [1, L·W]
+    wlc = (
+        (cols == (lvl_w + u0)[:, None]) * (1.0 - du)[:, None]
+        + (cols == (lvl_w + u0 + 1)[:, None]) * du[:, None]
+    )  # [K·16, L·W]
+    rows = jnp.arange(h, dtype=jnp.int32)[None]  # [1, H]
+    wr = (
+        (rows == v0[:, None]) * (1.0 - dv)[:, None]
+        + (rows == (v0 + 1)[:, None]) * dv[:, None]
+    )  # [K·16, H]
+    # binned [L, H, W, 8] → [L·W, H·8]; tmp[x, h, o] = Σ_{l,c} wlc·binned
+    src = binned.transpose(0, 2, 1, 3).reshape(n_lev * w, h * NBO)
+    tmp = (wlc @ src).reshape(x, h, NBO)
+    samp = jnp.einsum("xh,xho->xo", wr, tmp).reshape(-1, 16, NBO)
 
     # Gaussian window at bin centers (flat-window approximation)
     win = jnp.exp(

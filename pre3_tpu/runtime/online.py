@@ -1,17 +1,23 @@
-"""Online streaming SLAM driver with stage pipelining.
+"""Online streaming SLAM driver: ONE device dispatch per frame.
 
 The reference's online loop (mono_slam.m:113-435) is strictly serial:
 decode → SIFT → match → EKF per frame, with disk .mat files as the only
 stage handoff (RANSAC_CALC_SAVE_SR4000.m:14-15). This driver is the
 TPU-native replacement for that whole arrangement:
 
-  * decode / host IO runs in a background thread pool (prefetch depth N),
-    overlapping disk + numpy work with device compute;
-  * the frontend (feature extraction, a jitted program) and the backend
-    (the jitted EKF step) are dispatched asynchronously — JAX's async
-    dispatch queues frame k's EKF step and frame k+1's extraction on the
-    device without host blocking, so the host only synchronizes when a
-    pose is actually read.
+  * the ENTIRE per-frame pipeline — feature extraction, VO, EKF predict/
+    match/RANSAC/update, map management, key chaining, step counter — is
+    one fused jitted program. The host performs exactly one dispatch per
+    frame and zero per-frame host→device scalar uploads (the step counter
+    and PRNG key live in the device-resident carry);
+  * the carry (EkfState, key, step, previous-frame features) is donated,
+    so the [D, D] covariance and feature buffers are reused in place;
+  * JAX async dispatch queues frame k+1 while frame k computes: the host
+    never blocks unless a pose is actually read, so throughput is
+    max(device step time, host dispatch overhead) — not their sum, and
+    not a tunnel round-trip per frame;
+  * decode / host IO can additionally run in a background thread pool
+    (run(), prefetch depth N), overlapping disk + numpy work.
 
 Snapshots (utils/checkpoint.py) every `snapshot_every` steps reproduce the
 DataSnapshots resume tier (mono_slam.m:57-62,251-264).
@@ -74,7 +80,7 @@ class OnlineSlam:
         self.sync = sync_timing
         self.snapshot_dir = snapshot_dir
         self.snapshot_every = snapshot_every
-        self._key = key if key is not None else jax.random.PRNGKey(0)
+        self._key0 = key if key is not None else jax.random.PRNGKey(0)
         ek = dict(extractor_kwargs or {})
         if extractor == "fast":
             self._featurize = partial(extract_features, **ek)
@@ -82,94 +88,87 @@ class OnlineSlam:
             self._featurize = partial(extract_features_sift, **ek)
         else:
             raise ValueError(f"unknown extractor {extractor!r}")
-        self._needs_image = cfg.matcher == "ncc_warp"
+        needs_image = cfg.matcher == "ncc_warp"
 
-        def step(state, key, frame, prev, step_i, image, xyz_img):
-            # key chaining and pose extraction live INSIDE the program:
-            # one dispatch per frame, no eager split/slice round-trips
-            # (each eager op costs a full tunnel RTT on remote devices)
+        def fused(state, key, step_i, prev, intensity, xyz, conf):
+            """Whole per-frame pipeline as one program. All recurrent
+            quantities (key split, step increment, pose slice) stay on
+            device — each eager equivalent would cost a dispatch (a full
+            tunnel RTT on remote devices)."""
+            img = jnp.asarray(intensity, jnp.float32)
+            xyzj = jnp.asarray(xyz, jnp.float32)
+            feats = self._featurize(img, xyzj, jnp.asarray(conf, jnp.float32))
             key, sub = jax.random.split(key)
             state, (stats, _record) = slam_step(
-                cam, state, frame, prev, step_i, sub, cfg,
-                image=image, xyz_img=xyz_img,
+                cam, state, feats, prev, step_i, sub, cfg,
+                image=img if needs_image else None,
+                xyz_img=xyzj if needs_image else None,
             )
-            return state, key, state.x[0:3], state.x[3:7], stats
+            return (state, key, step_i + 1, feats,
+                    state.x[0:3], state.x[3:7], stats)
 
-        # Donating the state aliases its input/output buffers so the
-        # [D, D] covariance allocation is reused every step instead of
-        # reallocated.
-        self._jstep = jax.jit(step, donate_argnums=(0, 1))
+        # Donating the carry aliases its input/output buffers so the
+        # [D, D] covariance and the feature arrays are reused every step
+        # instead of reallocated.
+        self.fused_fn = fused  # raw (unjitted) — the flagship step program
+        self._jfused = jax.jit(fused, donate_argnums=(0, 1, 2, 3))
 
-        def boot(state, feats, image):
+        def boot(key, intensity, xyz, conf):
+            img = jnp.asarray(intensity, jnp.float32)
+            feats = self._featurize(
+                img, jnp.asarray(xyz, jnp.float32),
+                jnp.asarray(conf, jnp.float32),
+            )
+            state = init_state(
+                n_landmarks=n_landmarks, desc_dim=feats.desc.shape[-1]
+            )
+            key, sub = jax.random.split(key)
             obs0 = predict_measurements(cam, state, std_z=cfg.std_z)
-            return add_features(
+            state = add_features(
                 cam, state, feats, obs0.h, jnp.asarray(0, jnp.int32),
                 n_measured=jnp.asarray(0, jnp.int32),
                 max_adds=cfg.max_adds * 4,
                 min_measured=cfg.min_measured,
                 std_pxl=cfg.std_z,
-                image=image,
+                image=img if needs_image else None,
+                sampling=cfg.init_sampling, key=sub,
             )
+            return (state, key, jnp.asarray(1, jnp.int32), feats,
+                    state.x[0:3], state.x[3:7])
 
         # jitted: the eager form dispatches thousands of primitives
         # one-by-one, which is pathological on a remote-tunneled device
+        self.boot_fn = boot  # raw (unjitted)
         self._jboot = jax.jit(boot)
-        self.state: EkfState | None = None
-        self._prev: Features | None = None
+        # carry = (EkfState, key, step int32 [], prev Features) on device
+        self._carry: tuple | None = None
         self.step_i = 0
         self.results: list[StepResult] = []
 
-    # -- pipeline stages ---------------------------------------------------
+    @property
+    def state(self) -> EkfState | None:
+        return None if self._carry is None else self._carry[0]
 
-    def _extract(self, intensity, xyz, confidence):
-        img = jnp.asarray(intensity, jnp.float32)
-        # NaN handling happens inside the jitted extractors; a host-side
-        # nan_to_num here would force device→host→device round trips when
-        # the caller feeds device-resident arrays.
-        xyzj = jnp.asarray(xyz, jnp.float32)
-        conf = jnp.asarray(confidence, jnp.float32)
-        with self.timer.stage("frontend"):
-            feats = self._featurize(img, xyzj, conf)
-            if self.sync:
-                jax.block_until_ready(feats.uv)
-        return feats, img, xyzj
-
-    def _bootstrap(self, feats: Features, img, xyzj) -> None:
-        self.state = init_state(
-            n_landmarks=self.n_landmarks, desc_dim=feats.desc.shape[-1]
-        )
-        self.state = self._jboot(
-            self.state, feats, img if self._needs_image else None
-        )
+    # -- streaming ----------------------------------------------------------
 
     def process(self, intensity, xyz, confidence) -> StepResult:
         """Feed one frame. Returns lazily-valued device pose arrays —
         reading them syncs; not reading them keeps the pipe full."""
-        feats, img, xyzj = self._extract(intensity, xyz, confidence)
-        if self.state is None:
-            self._bootstrap(feats, img, xyzj)
-            res = StepResult(
-                0, self.state.x[0:3], self.state.x[3:7],
-                None,
-            )
-        else:
-            args = (
-                self.state, self._key, feats, self._prev,
-                jnp.asarray(self.step_i, jnp.int32),
-                img if self._needs_image else None,
-                xyzj if self._needs_image else None,
-            )
-            with self.timer.stage("ekf_step_dispatch"):
-                # slam_step's closure constants are all numpy (embedded as
-                # HLO literals — see geometry/camera.py::sr4000_camera), so
-                # the compiled program's buffer list is exactly the
-                # arguments and this dispatch stays valid across
-                # snapshot/resume with no recompile workaround.
-                self.state, self._key, t, q, stats = self._jstep(*args)
-                if self.sync:
-                    jax.block_until_ready(self.state.x)
-            res = StepResult(self.step_i, t, q, stats)
-        self._prev = feats
+        with self.timer.stage("dispatch"):
+            if self._carry is None:
+                state, key, step, feats, t, q = self._jboot(
+                    self._key0, intensity, xyz, confidence
+                )
+                self._carry = (state, key, step, feats)
+                res = StepResult(0, t, q, None)
+            else:
+                state, key, step, feats, t, q, stats = self._jfused(
+                    *self._carry, intensity, xyz, confidence
+                )
+                self._carry = (state, key, step, feats)
+                res = StepResult(self.step_i, t, q, stats)
+            if self.sync:
+                jax.block_until_ready(res.t)
         self.step_i += 1
         self.results.append(res)
         if (
@@ -217,7 +216,7 @@ class OnlineSlam:
         from pre3_tpu.utils.checkpoint import save_state
 
         path = f"{self.snapshot_dir}/snapshot_{self.step_i:05d}.npz"
-        save_state(path, self.state, self.step_i, self._key)
+        save_state(path, self._carry[0], self.step_i, self._carry[1])
         return path
 
     def resume(self, path: str) -> None:
@@ -227,11 +226,18 @@ class OnlineSlam:
         prime() with frame step_i−1 before the next process()."""
         from pre3_tpu.utils.checkpoint import load_state
 
-        self.state, self.step_i, self._key, _ = load_state(path)
+        state, self.step_i, key, _ = load_state(path)
+        self._carry = (state, key, jnp.asarray(self.step_i, jnp.int32), None)
 
     def prime(self, intensity, xyz, confidence) -> None:
         """Set the previous-frame features after resume()."""
-        self._prev, _, _ = self._extract(intensity, xyz, confidence)
+        feats = self._featurize(
+            jnp.asarray(intensity, jnp.float32),
+            jnp.asarray(xyz, jnp.float32),
+            jnp.asarray(confidence, jnp.float32),
+        )
+        state, key, step, _ = self._carry
+        self._carry = (state, key, step, feats)
 
     # -- views ---------------------------------------------------------------
 

@@ -34,8 +34,7 @@ def test_online_tracks_sequence(seq):
     ate = ate_rmse(ts, gt, align=False)
     assert ate < 0.08, f"online ATE {ate:.3f}"
     summ = slam.timer.summary()
-    assert summ["frontend"]["count"] == len(frames)
-    assert summ["ekf_step_dispatch"]["count"] == len(frames) - 1
+    assert summ["dispatch"]["count"] == len(frames)
     assert summ["decode_wait"]["count"] == len(frames)
 
 
