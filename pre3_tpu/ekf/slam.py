@@ -236,6 +236,68 @@ class SlamTrajectory(NamedTuple):
     records: StepRecord  # leaves have leading axis F-1 (BA backend input)
 
 
+def bootstrap_state(
+    cam_model: Camera,
+    first: Features,  # single frame
+    key: jax.Array,
+    cfg: SlamConfig = SlamConfig(),
+    n_landmarks: int = 64,
+    image: jnp.ndarray | None = None,
+) -> EkfState:
+    """Initialize the filter and seed the map from frame 0
+    (initialize_features at step 0, mono_slam.m:140)."""
+    state0 = init_state(
+        n_landmarks=n_landmarks, desc_dim=first.desc.shape[-1]
+    )
+    obs0 = predict_measurements(cam_model, state0, std_z=cfg.std_z)
+    return add_features(
+        cam_model, state0, first, obs0.h, jnp.asarray(0, jnp.int32),
+        n_measured=jnp.asarray(0, jnp.int32),
+        max_adds=cfg.max_adds * 4, min_measured=cfg.min_measured,
+        std_pxl=cfg.std_z, image=image,
+        sampling=cfg.init_sampling, key=key,
+    )
+
+
+def scan_steps(
+    cam_model: Camera,
+    state: EkfState,
+    prev_last: Features,  # the frame PRECEDING this chunk (VO anchor)
+    feats: Features,  # stacked chunk, leading axis C
+    keys: jax.Array,  # [C] PRNG keys
+    steps: jnp.ndarray,  # [C] global step indices
+    cfg: SlamConfig = SlamConfig(),
+    images: jnp.ndarray | None = None,  # [C, H, W], matcher='ncc_warp'
+    xyz_imgs: jnp.ndarray | None = None,  # [C, H, W, 3]
+):
+    """Scan slam_step over a feature chunk; resumable (returns the carry).
+
+    This is the chunked backend stage of the stage pipeline
+    (runtime/stage_pipeline.py): the frontend produces `feats` for chunk
+    c+1 while this consumes chunk c. Returns
+    (state, (t [C,3], q [C,4], stats, records))."""
+    c = feats.uv.shape[0]
+    prevs = jax.tree.map(
+        lambda last, xs: jnp.concatenate([last[None], xs[:-1]]),
+        prev_last, feats,
+    )
+
+    def body(st, inp):
+        k, fr, pfr, i, img, xz = inp
+        img = None if images is None else img
+        xz = None if xyz_imgs is None else xz
+        st, (stats, record) = slam_step(
+            cam_model, st, fr, pfr, i, k, cfg, image=img, xyz_img=xz
+        )
+        return st, (st.x[0:3], st.x[3:7], stats, record)
+
+    none_seq = jnp.zeros((c, 0)) if images is None else images
+    none_xyz = jnp.zeros((c, 0)) if xyz_imgs is None else xyz_imgs
+    return jax.lax.scan(
+        body, state, (keys, feats, prevs, steps, none_seq, none_xyz)
+    )
+
+
 @partial(jax.jit, static_argnames=("cfg", "n_landmarks"))
 def run_slam(
     cam_model: Camera,
@@ -248,50 +310,20 @@ def run_slam(
 ) -> SlamTrajectory:
     """Run EKF-SLAM over a stacked feature sequence with lax.scan."""
     n_frames = feats.uv.shape[0]
-    desc_dim = feats.desc.shape[-1]
-    state0 = init_state(n_landmarks=n_landmarks, desc_dim=desc_dim)
-
-    # Bootstrap the map from frame 0 (initialize_features at step 0).
     kboot, key = jax.random.split(key)
     first = jax.tree.map(lambda x: x[0], feats)
-    obs0 = predict_measurements(cam_model, state0, std_z=cfg.std_z)
-    state0 = add_features(
-        cam_model, state0, first, obs0.h, jnp.asarray(0, jnp.int32),
-        n_measured=jnp.asarray(0, jnp.int32),
-        max_adds=cfg.max_adds * 4, min_measured=cfg.min_measured,
-        std_pxl=cfg.std_z,
+    state0 = bootstrap_state(
+        cam_model, first, kboot, cfg, n_landmarks,
         image=None if images is None else images[0],
-        sampling=cfg.init_sampling, key=kboot,
     )
 
     keys = jax.random.split(key, n_frames - 1)
     steps = jnp.arange(1, n_frames, dtype=jnp.int32)
     rest = jax.tree.map(lambda x: x[1:], feats)
-    prevs = jax.tree.map(lambda x: x[:-1], feats)
-    imgs = None if images is None else images[1:]
-    xyzs = None if xyz_imgs is None else xyz_imgs[1:]
-
-    def body(carry, inp):
-        st = carry
-        k, fr, pfr, i, img, xz = inp
-        st, (stats, record) = slam_step(
-            cam_model, st, fr, pfr, i, k, cfg, image=img, xyz_img=xz
-        )
-        return st, (st.x[0:3], st.x[3:7], stats, record)
-
-    # None scan inputs ride along as broadcast leaves (is_leaf trick not
-    # needed: wrap in per-step tuples only when present).
-    none_seq = jnp.zeros((n_frames - 1, 0)) if imgs is None else imgs
-    none_xyz = jnp.zeros((n_frames - 1, 0)) if xyzs is None else xyzs
-
-    def body_wrap(carry, inp):
-        k, fr, pfr, i, img, xz = inp
-        img = None if images is None else img
-        xz = None if xyz_imgs is None else xz
-        return body(carry, (k, fr, pfr, i, img, xz))
-
-    _, (ts, qs, stats, records) = jax.lax.scan(
-        body_wrap, state0, (keys, rest, prevs, steps, none_seq, none_xyz)
+    _, (ts, qs, stats, records) = scan_steps(
+        cam_model, state0, first, rest, keys, steps, cfg,
+        images=None if images is None else images[1:],
+        xyz_imgs=None if xyz_imgs is None else xyz_imgs[1:],
     )
     t0 = jnp.zeros((1, 3))
     q0 = jnp.array([[1.0, 0, 0, 0]])

@@ -156,7 +156,15 @@ def _detect_octave(
     score = jnp.where(ok, jnp.abs(refined), 0.0)
 
     flat = score.reshape(-1)
-    vals, idx = jax.lax.top_k(flat, max_keypoints)
+    if jax.default_backend() == "tpu":
+        # TPU-optimized partial sort: exact top_k fully sorts the ~127k
+        # candidate scores per octave; approx_max_k (recall ≥ 0.98 here —
+        # losses only among the weakest responses) is markedly cheaper
+        vals, idx = jax.lax.approx_max_k(
+            flat, max_keypoints, recall_target=0.98
+        )
+    else:
+        vals, idx = jax.lax.top_k(flat, max_keypoints)
     lvl = idx // (h * w)
     rem = idx % (h * w)
     r = rem // w
@@ -281,24 +289,29 @@ def _orientations(
 # ---------------------------------------------------------------------------
 
 
+def _band_matrix(n: int, delta: float) -> np.ndarray:
+    """[n, n] banded triangle-filter matrix: B[p, q] = hat((p−q)/Δ).
+    Static (trace-time numpy) — one per (level, axis length)."""
+    idx = np.arange(n)
+    return np.maximum(
+        0.0, 1.0 - np.abs(idx[:, None] - idx[None, :]) / delta
+    ).astype(np.float32)
+
+
 def _tri_sepconv(x: jnp.ndarray, delta: float) -> jnp.ndarray:
     """Separable triangle (hat) convolution of [H, W, C]:
-    out(p) = Σ_q max(0, 1−|pᵣ−qᵣ|/Δ)·max(0, 1−|p_c−q_c|/Δ)·x(q)."""
-    radius = max(int(np.ceil(delta)) - 1, 0)
-    taps = jnp.asarray(
-        [1.0 - abs(t) / delta for t in range(-radius, radius + 1)],
-        x.dtype,
-    )
-    h, w, c = x.shape
-    # rows then cols; channels ride the batch dimension
-    y = x.transpose(2, 0, 1)[:, None]  # [C, 1, H, W]
-    y = jax.lax.conv_general_dilated(
-        y, taps.reshape(1, 1, -1, 1), (1, 1), "SAME"
-    )
-    y = jax.lax.conv_general_dilated(
-        y, taps.reshape(1, 1, 1, -1), (1, 1), "SAME"
-    )
-    return y[:, 0].transpose(1, 2, 0)
+    out(p) = Σ_q max(0, 1−|pᵣ−qᵣ|/Δ)·max(0, 1−|p_c−q_c|/Δ)·x(q).
+
+    Implemented as two banded-matrix contractions rather than
+    conv_general_dilated: a channel-count-1 conv with a ~30-tap spatial
+    kernel runs on the VPU (measured 0.88 ms/frame for the 6-level stack)
+    while the equivalent [H, H] × [H, W·C] matmul rides the MXU. The band
+    matrices are static constants (Δ is trace-time)."""
+    h, w, _ = x.shape
+    br = jnp.asarray(_band_matrix(h, delta))  # [H, H]
+    bc = jnp.asarray(_band_matrix(w, delta))  # [W, W]
+    y = jnp.einsum("hH,Hwc->hwc", br, x)
+    return jnp.einsum("wW,hWc->hwc", bc, y)
 
 
 def _descriptors_dense(

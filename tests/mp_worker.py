@@ -84,9 +84,37 @@ def main() -> None:
     with jax.set_mesh(mesh):
         res = run_ransac(g(p1), g(p2), g(np.ones(96, bool)))
 
+    # --- stage pipeline: frame-sharded frontend feeds the backend -------
+    # (SURVEY §2.4 pipeline-over-stages row: frontend work for a frame
+    # chunk is split across the processes — DCN on real hardware — and the
+    # replicated feature output feeds each rank's backend scan.)
+    from pre3_tpu.data.synthetic import render_sequence
+    from pre3_tpu.ekf.slam import SlamConfig, run_slam
+    from pre3_tpu.geometry.camera import sr4000_camera
+    from pre3_tpu.parallel.distributed import global_landmark_mesh
+    from pre3_tpu.runtime.stage_pipeline import sharded_extract
+
+    frames, _, _ = render_sequence(n_frames=8, n_points=250, noise=0.004)
+    fmesh = global_landmark_mesh(axis="frame")
+    g2 = lambda x: globalize_replicated(fmesh, x)
+    intensity = g2(np.stack([f.intensity for f in frames]))
+    xyzf = g2(np.nan_to_num(np.stack([f.xyz for f in frames])))
+    conff = g2(np.stack([f.confidence for f in frames]))
+    feats_g = sharded_extract(
+        fmesh, intensity, xyzf, conff, extractor="fast",
+        extractor_kwargs={"threshold": 0.05, "max_features": 96},
+    )
+    # replicated output → every rank holds the full feature set
+    feats_local = jax.tree.map(lambda a: jnp.asarray(np.asarray(a)), feats_g)
+    traj = run_slam(
+        sr4000_camera(), feats_local, jax.random.PRNGKey(5),
+        cfg=SlamConfig(match_ratio=1.3), n_landmarks=24,
+    )
+
     json.dump(
         {
             "pid": pid,
+            "pipeline_t": np.asarray(traj.t).tolist(),
             "ba_kf_t": np.asarray(ba.kf_t).tolist(),
             "ba_points": np.asarray(ba.points).tolist(),
             "ba_cost_final": float(ba.cost[-1]),

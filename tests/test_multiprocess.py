@@ -65,6 +65,10 @@ def test_ranks_agree(ranks):
     np.testing.assert_array_equal(a["ransac_r"], b["ransac_r"])
     np.testing.assert_array_equal(a["ransac_t"], b["ransac_t"])
     assert a["ransac_n_inliers"] == b["ransac_n_inliers"]
+    # stage pipeline: frame-sharded frontend across processes feeds each
+    # rank's backend; trajectories must agree bit-for-bit
+    np.testing.assert_array_equal(a["pipeline_t"], b["pipeline_t"])
+    assert np.isfinite(np.asarray(a["pipeline_t"])).all()
 
 
 def test_multiprocess_ba_matches_single_process(ranks):
