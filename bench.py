@@ -227,6 +227,43 @@ def main():
         extra["ba_ms_total"] = round(1e3 * ba_dt, 1)
         extra["ba_n_keyframes"] = int(ks.n)
 
+    # ---- loop-closure scenario (same shapes → same compiled program) ----
+    # Out-and-back trajectory: the persistent map (max_invisible large)
+    # lets the filter re-acquire outbound landmarks on the return leg
+    # through the uncertainty-widened search gate — EKF loop closure —
+    # and gives BA long-range constraints a pure corridor cannot.
+    loop_drift = 0.03 * 0.5 * (N_FRAMES // 2)
+    lframes, ltraj, _ = render_sequence(
+        n_frames=N_FRAMES, n_points=600, noise=0.004,
+        x_range=(-1.8, loop_drift + 1.8), loop=True,
+    )
+    li_ = jnp.asarray(np.stack([f.intensity for f in lframes]))
+    lx = jnp.asarray(np.nan_to_num(np.stack([f.xyz for f in lframes])))
+    lc = jnp.asarray(np.stack([f.confidence for f in lframes]))
+    lgt = (ltraj.t - ltraj.t[0]) @ ltraj.r[0]
+    # Plain CFG: measured (BASELINE.md r3) the invisible-landmark rule
+    # should stay ON even for revisits — retained stale landmarks admit
+    # wrong matches and cost accuracy (0.144 vs 0.128 m ATE).
+    lout = head(li_, lx, lc, jax.random.PRNGKey(0))
+    extra["loop_slam_ate_rmse_m"] = round(
+        float(ate_rmse(np.asarray(lout.t), lgt, align=False)), 4
+    )
+    lks = select_keyframes(
+        lout.t, lout.q, jnp.ones(N_FRAMES, bool), max_keyframes=64
+    )
+    lprob = ba_problem_from_slam(
+        lout, np.asarray(lks.indices), np.asarray(lks.valid),
+        max_landmarks=512,
+    )
+    if lprob is not None:
+        lres = bundle_adjust(cam, lprob, iters=10)
+        lsm_t, _ = apply_ba_corrections(
+            lout.t, lout.q, lks.indices, lks.valid, lres.kf_t, lres.kf_q
+        )
+        extra["loop_ba_ate_rmse_m"] = round(
+            float(ate_rmse(np.asarray(lsm_t), lgt, align=False)), 4
+        )
+
     # ---- config #1: VO dead reckoning (FAST+patch frontend) ----
     @jax.jit
     def vo_pipeline(intensity, xyz, conf, key):

@@ -65,10 +65,20 @@ class SlamConfig(NamedTuple):
     # (detector score, deterministic) | "weighted" (the reference's
     # Gaussian-center-weighted sampling without replacement,
     # Weighted_Smpl_wo_replacement.m, as Gumbel top-k)
-    max_age: int = 20  # landmark lifetime in frames (delete_features.m:41
-    # deletes at age>20 as a stale-SIFT-descriptor workaround, per its own
-    # comment; this engine refreshes descriptors on every match, so larger
-    # lifetimes are sound and cut long-sequence drift — see BASELINE.md)
+    max_age: int = 10_000  # landmark lifetime in frames. The reference
+    # deletes at age>20 (delete_features.m:41) as a stale-SIFT-descriptor
+    # workaround, per its own comment; this engine refreshes descriptors
+    # on every match, so long lifetimes are sound — and they are the
+    # single biggest accuracy lever at length: 256-frame corridor ATE
+    # 0.597 m (max_age=20) → 0.239 m (unlimited), BA 0.458 → 0.165 m,
+    # at identical cost (BASELINE.md r3 sweep). Set 20 for reference
+    # parity. Tracking-ratio deletion still prunes bad landmarks.
+    max_invisible: int = 20  # frames a landmark may stay out of view
+    # before deletion (delete_features.m:46). Large values keep a
+    # persistent "memory map": on trajectory revisits the filter
+    # re-acquires old landmarks through the (uncertainty-widened) search
+    # gate — EKF loop closure. Costs map slots; pair with n_landmarks
+    # sized for the whole environment.
     vo_noise_from_covariance: bool = True  # IFT VO covariance as process
     # noise (instead of the reference's fixed constant)
 
@@ -201,7 +211,9 @@ def slam_step(
     # features reuses the last available measurement prediction (exact
     # posterior h is not needed for a pixel-distance gate) — saves a full
     # H/S recompute per step.
-    state = delete_features(state, step, max_age=cfg.max_age)
+    state = delete_features(
+        state, step, max_age=cfg.max_age, max_invisible=cfg.max_invisible
+    )
     state = convert_to_cartesian(state)
     gate_h = obs2.h if (cfg.est_method == "1pre" and
                         not cfg.only_predict) else obs.h

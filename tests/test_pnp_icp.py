@@ -179,3 +179,77 @@ class TestDlsPnp:
 
         assert cost(res.r, res.t) <= cost(seed_res.r, seed_res.t) + 1e-10
         np.testing.assert_allclose(np.asarray(res.r), r_gt, atol=2e-2)
+
+
+class TestGicp:
+    """Plane-to-plane generalized ICP (the GICP_test_each_camera.m oracle)."""
+
+    def _structured_scene(self, n=160, seed=20):
+        """Points on two planes + a ridge — surfaces, so GICP covariances
+        are informative (a pure random cloud has no normals)."""
+        rng = np.random.default_rng(seed)
+        a = np.stack([rng.uniform(-1, 1, n // 2),
+                      rng.uniform(-1, 1, n // 2),
+                      np.full(n // 2, 2.0)], -1)
+        b = np.stack([rng.uniform(-1, 1, n - n // 2),
+                      np.full(n - n // 2, 0.8),
+                      rng.uniform(1.5, 2.5, n - n // 2)], -1)
+        return np.concatenate([a, b]).astype(np.float32)
+
+    def test_aligns_known_transform(self):
+        from pre3_tpu.vo.icp import gicp
+
+        p = self._structured_scene()
+        r_gt, t_gt = pose(seed=21, t_scale=0.06, r_scale=0.05)
+        q = (p - t_gt) @ r_gt
+        res = gicp(jnp.asarray(p), jnp.asarray(q),
+                   jnp.ones(len(p), bool), jnp.ones(len(q), bool))
+        assert bool(res.ok)
+        ang = np.degrees(np.arccos(np.clip(
+            (np.trace(np.asarray(res.r) @ r_gt.T) - 1) / 2, -1, 1)))
+        assert ang < 1.0, ang
+        assert np.linalg.norm(np.asarray(res.t) - t_gt) < 0.02
+
+    def test_cross_checks_icp_and_ransac(self):
+        """GICP_test_each_camera.m as an assertion: GICP, point-to-point
+        ICP, and RANSAC VO agree on the same pair."""
+        from pre3_tpu.vo.icp import gicp
+
+        p = self._structured_scene(seed=22)
+        r_gt, t_gt = pose(seed=23, t_scale=0.05, r_scale=0.04)
+        q = (p - t_gt) @ r_gt
+        q += np.random.default_rng(24).normal(0, 1e-3, q.shape).astype(
+            np.float32)
+        valid = jnp.ones(len(p), bool)
+        rg = gicp(jnp.asarray(p), jnp.asarray(q), valid, valid)
+        ri = icp(jnp.asarray(p), jnp.asarray(q), valid, valid)
+        rr = ransac_rigid(jax.random.PRNGKey(2), jnp.asarray(p),
+                          jnp.asarray(q), valid, batch=256)
+        assert bool(rg.ok) and bool(ri.ok) and bool(rr.ok)
+        for other in (np.asarray(ri.r), np.asarray(rr.r)):
+            dr = np.asarray(rg.r) @ other.T
+            ang = np.degrees(np.arccos(np.clip(
+                (np.trace(dr) - 1) / 2, -1, 1)))
+            assert ang < 0.5, ang
+        assert np.linalg.norm(np.asarray(rg.t) - np.asarray(ri.t)) < 0.01
+
+    def test_gicp_beats_icp_on_sliding_planes(self):
+        """The canonical GICP advantage: translation ALONG a plane is
+        unconstrained point-to-point but pinned by the plane-to-plane
+        metric when a second, differently-oriented surface exists."""
+        from pre3_tpu.vo.icp import gicp
+
+        rng = np.random.default_rng(25)
+        # dense plane + sparse orthogonal wall: p2p ICP latches onto the
+        # dense plane and slides; GICP weights the wall's normals
+        a = np.stack([rng.uniform(-1, 1, 200), rng.uniform(-1, 1, 200),
+                      np.full(200, 2.0)], -1)
+        b = np.stack([np.full(30, 0.9), rng.uniform(-1, 1, 30),
+                      rng.uniform(1.6, 2.4, 30)], -1)
+        p = np.concatenate([a, b]).astype(np.float32)
+        t_gt = np.array([0.05, 0.03, 0.0], np.float32)  # in-plane slide
+        q = p - t_gt
+        valid = jnp.ones(len(p), bool)
+        rg = gicp(jnp.asarray(p), jnp.asarray(q), valid, valid, iters=30)
+        err_g = np.linalg.norm(np.asarray(rg.t) - t_gt)
+        assert err_g < 0.01, err_g
