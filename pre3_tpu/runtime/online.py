@@ -36,7 +36,7 @@ import numpy as np
 
 from pre3_tpu.ekf.map_management import add_features
 from pre3_tpu.ekf.measurement import predict_measurements
-from pre3_tpu.ekf.slam import SlamConfig, StepStats, slam_step
+from pre3_tpu.ekf.slam import SlamConfig, StepStats, scan_steps, slam_step
 from pre3_tpu.ekf.state import EkfState, init_state
 from pre3_tpu.frontend.pipeline import (
     Features, extract_features, extract_features_sift,
@@ -140,6 +140,33 @@ class OnlineSlam:
         # one-by-one, which is pathological on a remote-tunneled device
         self.boot_fn = boot  # raw (unjitted)
         self._jboot = jax.jit(boot)
+
+        def fused_chunk(state, key, step_i, prev, intensity, xyz, conf):
+            """C frames in ONE dispatch: vmapped frontend + on-device
+            scan over the EKF steps. Per-execute overhead is paid once
+            per chunk instead of per frame (measured ~35 ms/execute for
+            the single-frame program vs ~5 ms/frame of actual compute on
+            a remote chip), trading C frames of latency for near-scan
+            throughput. Key schedule differs from chunk=1 (one split per
+            chunk), so chunked and per-frame runs are each deterministic
+            but not bit-identical to each other."""
+            c = intensity.shape[0]
+            img = jnp.asarray(intensity, jnp.float32)
+            xyzj = jnp.asarray(xyz, jnp.float32)
+            feats = jax.vmap(self._featurize)(
+                img, xyzj, jnp.asarray(conf, jnp.float32)
+            )
+            keys = jax.random.split(key, c + 1)
+            state, (ts, qs, stats, _recs) = scan_steps(
+                cam, state, prev, feats, keys[1:],
+                step_i + jnp.arange(c, dtype=jnp.int32), cfg,
+                images=img if needs_image else None,
+                xyz_imgs=xyzj if needs_image else None,
+            )
+            last = jax.tree.map(lambda a: a[-1], feats)
+            return (state, keys[0], step_i + c, last, ts, qs, stats)
+
+        self._jchunk = jax.jit(fused_chunk, donate_argnums=(0, 1, 2, 3))
         # carry = (EkfState, key, step int32 [], prev Features) on device
         self._carry: tuple | None = None
         self.step_i = 0
@@ -179,17 +206,51 @@ class OnlineSlam:
             self.snapshot()
         return res
 
+    def process_chunk(self, intensity, xyz, confidence) -> list[StepResult]:
+        """Feed C frames as one dispatch (arrays with leading axis C).
+        Must be called after at least one process() (the bootstrap frame).
+        Trades C frames of latency for near-offline throughput — the
+        high-rate streaming mode; chunk=1 process() is the low-latency
+        mode (both faster than the 10 Hz sensor)."""
+        if self._carry is None:
+            raise RuntimeError("bootstrap with process() before chunks")
+        c = intensity.shape[0]
+        with self.timer.stage("dispatch"):
+            state, key, step, feats, ts, qs, stats = self._jchunk(
+                *self._carry, intensity, xyz, confidence
+            )
+            self._carry = (state, key, step, feats)
+        out = [
+            StepResult(
+                self.step_i + i, ts[i], qs[i],
+                jax.tree.map(lambda a, i=i: a[i], stats),
+            )
+            for i in range(c)
+        ]
+        self.step_i += c
+        self.results.extend(out)
+        if (
+            self.snapshot_dir
+            and self.snapshot_every
+            and self.step_i % self.snapshot_every == 0
+        ):
+            self.snapshot()
+        return out
+
     def run(
         self,
         frames: Iterable,
         decode: Callable[[Any], tuple] | None = None,
         prefetch: int = 2,
+        chunk: int = 1,
     ) -> list[StepResult]:
         """Drive a whole sequence with host-side decode prefetch.
 
         `decode(frame) -> (intensity, xyz, confidence)` runs in a
         background thread pool `prefetch` frames ahead of the device
-        (defaults to attribute access for Frame-like objects)."""
+        (defaults to attribute access for Frame-like objects). chunk > 1
+        batches that many frames per device dispatch (process_chunk) after
+        the per-frame bootstrap — the throughput mode."""
         if decode is None:
             def decode(f):
                 return f.intensity, f.xyz, f.confidence
@@ -200,6 +261,7 @@ class OnlineSlam:
                 pool.submit(decode, f)
                 for f in itertools.islice(it, prefetch)
             ]
+            buf: list[tuple] = []
             while pending:
                 fut = pending.pop(0)
                 nxt = next(it, None)
@@ -207,7 +269,17 @@ class OnlineSlam:
                     pending.append(pool.submit(decode, nxt))
                 with self.timer.stage("decode_wait"):
                     args = fut.result()
-                self.process(*args)
+                if chunk <= 1 or self._carry is None:
+                    self.process(*args)
+                    continue
+                buf.append(args)
+                if len(buf) == chunk or not pending:
+                    self.process_chunk(
+                        np.stack([a[0] for a in buf]),
+                        np.stack([a[1] for a in buf]),
+                        np.stack([a[2] for a in buf]),
+                    )
+                    buf = []
         return self.results
 
     # -- persistence --------------------------------------------------------

@@ -62,3 +62,21 @@ def test_online_snapshot_resume_deterministic(seq, tmp_path):
 
     np.testing.assert_allclose(ts_b, ts_a[4:], atol=1e-5)
     np.testing.assert_allclose(qs_b, qs_a[4:], atol=1e-5)
+
+
+@pytest.mark.slow
+def test_online_chunked_matches_quality(seq):
+    """Chunked streaming (process_chunk) tracks the sequence as well as
+    per-frame streaming; one dispatch per chunk."""
+    frames, traj, _ = seq
+    slam = OnlineSlam(
+        CAM, cfg=SlamConfig(match_ratio=1.3), n_landmarks=32,
+        extractor_kwargs=EXTRACT, key=jax.random.PRNGKey(1),
+    )
+    slam.run(frames, chunk=3)
+    ts, _ = slam.trajectory
+    assert len(ts) == len(frames)
+    gt = (traj.t - traj.t[0]) @ traj.r[0]
+    ate = ate_rmse(ts, gt, align=False)
+    assert ate < 0.08, f"chunked online ATE {ate:.3f}"
+    assert [r.step for r in slam.results] == list(range(len(frames)))
