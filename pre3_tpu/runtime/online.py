@@ -99,13 +99,13 @@ class OnlineSlam:
             xyzj = jnp.asarray(xyz, jnp.float32)
             feats = self._featurize(img, xyzj, jnp.asarray(conf, jnp.float32))
             key, sub = jax.random.split(key)
-            state, (stats, _record) = slam_step(
+            state, (stats, record) = slam_step(
                 cam, state, feats, prev, step_i, sub, cfg,
                 image=img if needs_image else None,
                 xyz_img=xyzj if needs_image else None,
             )
             return (state, key, step_i + 1, feats,
-                    state.x[0:3], state.x[3:7], stats)
+                    state.x[0:3], state.x[3:7], stats, record)
 
         # Donating the carry aliases its input/output buffers so the
         # [D, D] covariance and the feature arrays are reused every step
@@ -157,20 +157,23 @@ class OnlineSlam:
                 img, xyzj, jnp.asarray(conf, jnp.float32)
             )
             keys = jax.random.split(key, c + 1)
-            state, (ts, qs, stats, _recs) = scan_steps(
+            state, (ts, qs, stats, recs) = scan_steps(
                 cam, state, prev, feats, keys[1:],
                 step_i + jnp.arange(c, dtype=jnp.int32), cfg,
                 images=img if needs_image else None,
                 xyz_imgs=xyzj if needs_image else None,
             )
             last = jax.tree.map(lambda a: a[-1], feats)
-            return (state, keys[0], step_i + c, last, ts, qs, stats)
+            return (state, keys[0], step_i + c, last, ts, qs, stats, recs)
 
         self._jchunk = jax.jit(fused_chunk, donate_argnums=(0, 1, 2, 3))
         # carry = (EkfState, key, step int32 [], prev Features) on device
         self._carry: tuple | None = None
         self.step_i = 0
         self.results: list[StepResult] = []
+        # per-step StepRecord pytrees (chunk entries carry a leading C
+        # axis) — the BA/smoother input stream the offline scan also emits
+        self._records: list = []
 
     @property
     def state(self) -> EkfState | None:
@@ -189,10 +192,11 @@ class OnlineSlam:
                 self._carry = (state, key, step, feats)
                 res = StepResult(0, t, q, None)
             else:
-                state, key, step, feats, t, q, stats = self._jfused(
+                state, key, step, feats, t, q, stats, rec = self._jfused(
                     *self._carry, intensity, xyz, confidence
                 )
                 self._carry = (state, key, step, feats)
+                self._records.append(rec)
                 res = StepResult(self.step_i, t, q, stats)
             if self.sync:
                 jax.block_until_ready(res.t)
@@ -216,10 +220,11 @@ class OnlineSlam:
             raise RuntimeError("bootstrap with process() before chunks")
         c = intensity.shape[0]
         with self.timer.stage("dispatch"):
-            state, key, step, feats, ts, qs, stats = self._jchunk(
+            state, key, step, feats, ts, qs, stats, recs = self._jchunk(
                 *self._carry, intensity, xyz, confidence
             )
             self._carry = (state, key, step, feats)
+            self._records.append(recs)  # leaves have leading axis C
         out = [
             StepResult(
                 self.step_i + i, ts[i], qs[i],
@@ -310,6 +315,71 @@ class OnlineSlam:
         )
         state, key, step, _ = self._carry
         self._carry = (state, key, step, feats)
+
+    # -- sliding-window smoothing -------------------------------------------
+
+    def _stacked_records(self):
+        """Stack the recorded per-step inlier observations to numpy
+        leaves with leading axis F-1 (row r ↔ frame r+1, matching the
+        offline scan's record stream)."""
+        outs = []
+        for r in self._records:
+            z = np.asarray(r.z)
+            if z.ndim == 2:  # per-frame entry [K, ...] → add step axis
+                outs.append(jax.tree.map(lambda a: np.asarray(a)[None], r))
+            else:  # chunk entry [C, K, ...]
+                outs.append(jax.tree.map(np.asarray, r))
+        return jax.tree.map(lambda *xs: np.concatenate(xs), *outs)
+
+    def smooth(
+        self,
+        window: int | None = None,
+        max_keyframes: int = 32,
+        iters: int = 8,
+        max_landmarks: int = 256,
+    ) -> tuple[np.ndarray, np.ndarray]:
+        """Fixed-lag smoother over the streamed trajectory: keyframes are
+        selected inside the trailing `window` frames (None = full
+        history), a Schur-complement BA runs on the recorded filter-vetted
+        observations (the same backend/ekf_ba.py bridge the offline path
+        uses), and the corrections are interpolated back onto every frame
+        in the window. Frames before the window are left untouched.
+        Returns (t [F, 3], q [F, 4]). Records are transient (not
+        checkpointed): after resume() the smoothable window restarts."""
+        from pre3_tpu.backend.ba import bundle_adjust
+        from pre3_tpu.backend.ekf_ba import ba_problem_from_slam
+        from pre3_tpu.backend.keyframes import select_keyframes
+        from pre3_tpu.backend.smoothing import apply_ba_corrections
+        from pre3_tpu.ekf.slam import SlamTrajectory
+
+        ts, qs = self.trajectory
+        f = len(ts)
+        if f < 3 or not self._records:
+            return ts, qs
+        records = self._stacked_records()
+        lo = max(0, f - window) if window else 0
+        traj = SlamTrajectory(
+            t=jnp.asarray(ts[lo:]), q=jnp.asarray(qs[lo:]), stats=None,
+            records=jax.tree.map(lambda a: jnp.asarray(a[lo:]), records),
+        )
+        n = f - lo
+        ks = select_keyframes(
+            traj.t, traj.q, jnp.ones(n, bool), max_keyframes=max_keyframes
+        )
+        prob = ba_problem_from_slam(
+            traj, np.asarray(ks.indices), np.asarray(ks.valid),
+            max_landmarks=max_landmarks,
+        )
+        if prob is None:
+            return ts, qs
+        res = bundle_adjust(self.cam, prob, iters=iters)
+        sm_t, sm_q = apply_ba_corrections(
+            traj.t, traj.q, ks.indices, ks.valid, res.kf_t, res.kf_q
+        )
+        out_t, out_q = ts.copy(), qs.copy()
+        out_t[lo:] = np.asarray(sm_t)
+        out_q[lo:] = np.asarray(sm_q)
+        return out_t, out_q
 
     # -- views ---------------------------------------------------------------
 

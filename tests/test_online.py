@@ -80,3 +80,10 @@ def test_online_chunked_matches_quality(seq):
     ate = ate_rmse(ts, gt, align=False)
     assert ate < 0.08, f"chunked online ATE {ate:.3f}"
     assert [r.step for r in slam.results] == list(range(len(frames)))
+    # sliding-window smoother consumes the streamed records
+    sm_t, sm_q = slam.smooth(window=6, max_keyframes=6, iters=5)
+    assert sm_t.shape == ts.shape and sm_q.shape == (len(frames), 4)
+    ate_sm = ate_rmse(sm_t, gt, align=False)
+    assert ate_sm < ate + 0.02, f"smoothed ATE {ate_sm:.3f} vs {ate:.3f}"
+    # frames before the window are untouched
+    np.testing.assert_array_equal(sm_t[0], ts[0])
