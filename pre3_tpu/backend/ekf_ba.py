@@ -27,12 +27,22 @@ def ba_problem_from_slam(
     kf_valid: np.ndarray,  # [M]
     min_obs: int = 2,
     max_landmarks: int | None = None,
+    kf_feats=None,  # Features stacked over the M keyframes (optional)
+    merge_eps: float = 0.15,  # m — world-point identification radius
 ) -> BaProblem | None:
     """Build the masked BA tensors from recorded inlier observations.
 
     Records exist for frames 1..F-1 (frame 0 has no step); a keyframe at
     frame 0 contributes no observations but anchors the gauge. Returns
-    None when no landmark is observed in ≥ min_obs keyframes."""
+    None when no landmark is observed in ≥ min_obs keyframes.
+
+    kf_feats: when given, cross-keyframe descriptor RE-MATCHING
+    (backend/tracks.py) runs on the keyframe features and its tracks are
+    merged into the filter-record landmarks by world-point proximity
+    (< merge_eps): a track observation at a keyframe where the filter had
+    none becomes an extra factor row. This adds the long-range
+    constraints the per-frame filter associations cannot provide (e.g.
+    re-observations across a loop)."""
     import jax.numpy as jnp
 
     from pre3_tpu.geometry.quaternion import qrotate
@@ -101,6 +111,37 @@ def ba_problem_from_slam(
             have_init[li2] = True
 
     mask &= have_init[None]
+
+    # --- optional cross-keyframe re-matching merge -----------------------
+    if kf_feats is not None and l > 0:
+        from pre3_tpu.backend.tracks import build_tracks
+
+        t_uv, t_xyz, t_mask, table = build_tracks(
+            kf_feats, jnp.asarray(t_all[kf_indices]),
+            jnp.asarray(q_all[kf_indices]),
+            jnp.asarray(kf_valid),
+            max_tracks=min(4 * l, 512),
+        )
+        t_uv = np.asarray(t_uv)  # [M, L2, 2]
+        t_xyz = np.asarray(t_xyz)
+        t_mask = np.asarray(t_mask)
+        t_pw = np.asarray(table.point_w)  # [L2, 3]
+        t_act = np.asarray(table.active)
+        n_merged = 0
+        for l2 in np.nonzero(t_act & (t_mask.sum(0) >= 2))[0]:
+            d = np.linalg.norm(points - t_pw[l2], axis=-1)
+            j = int(np.argmin(d))
+            if d[j] > merge_eps or not have_init[j]:
+                continue
+            # add track observations at keyframes the filter missed
+            new = t_mask[:, l2] & ~mask[:, j] & kf_valid
+            if not new.any():
+                continue
+            obs_uv[new, j] = t_uv[new, l2]
+            obs_xyz[new, j] = t_xyz[new, l2]
+            mask[new, j] = True
+            n_merged += int(new.sum())
+
     has_depth = np.linalg.norm(obs_xyz, axis=-1) > 0.2
 
     # Odometry-chain factors between consecutive keyframes: the filter's

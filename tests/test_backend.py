@@ -145,3 +145,39 @@ class TestEkfBaBridge:
         # near-optimal and BA can add slight noise; it must stay sane.
         # (On longer sequences BA improves the trajectory — see the demo.)
         assert sm_ate < max(2.0 * slam_ate, 0.04), (sm_ate, slam_ate)
+
+    @pytest.mark.slow
+    def test_rematch_merge_option(self):
+        """ba_problem_from_slam(kf_feats=...) merges cross-keyframe track
+        re-matches into the record landmarks: observation count must not
+        shrink and the problem stays solvable. (Measured off by default:
+        the merged matches degrade ATE — BASELINE.md r3.)"""
+        from pre3_tpu.backend.ekf_ba import ba_problem_from_slam
+        from pre3_tpu.backend.keyframes import select_keyframes
+        from pre3_tpu.ekf.slam import run_slam
+
+        frames, traj, _ = render_sequence(
+            n_frames=12, n_points=300, noise=0.004
+        )
+        feats = [
+            extract_features_sift(
+                jnp.asarray(f.intensity), jnp.asarray(f.xyz),
+                jnp.asarray(f.confidence), keypoints_per_octave=48,
+            )
+            for f in frames
+        ]
+        feats = jax.tree.map(lambda *xs: jnp.stack(xs), *feats)
+        out = run_slam(CAM, feats, jax.random.PRNGKey(0), n_landmarks=32)
+        ks = select_keyframes(out.t, out.q, jnp.ones(12, bool),
+                              max_keyframes=8, rot_thresh_deg=1.0,
+                              trans_thresh_m=0.02)
+        kf_idx = np.asarray(ks.indices)
+        base = ba_problem_from_slam(out, kf_idx, np.asarray(ks.valid))
+        kf_feats = jax.tree.map(lambda a: a[jnp.asarray(kf_idx)], feats)
+        merged = ba_problem_from_slam(
+            out, kf_idx, np.asarray(ks.valid), kf_feats=kf_feats
+        )
+        assert merged is not None and base is not None
+        assert int(merged.mask.sum()) >= int(base.mask.sum())
+        res = bundle_adjust(CAM, merged, iters=5)
+        assert float(res.cost[-1]) <= float(res.cost[0]) + 1e-9
