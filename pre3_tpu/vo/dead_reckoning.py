@@ -45,6 +45,7 @@ def vo_pair(
     ratio: float = 1.3,
     min_inliers: int = 8,
     with_covariance: bool = False,
+    range_weighted_refit: bool = False,
 ) -> VoStep:
     """Estimate the rigid motion between two feature sets.
 
@@ -60,7 +61,8 @@ def vo_pair(
     p2 = f2.xyz[m.index]
     valid = m.accepted & f1.valid & f2.valid[m.index]
     res = ransac_rigid(
-        key, p1, p2, valid, batch=batch, min_inliers=min_inliers
+        key, p1, p2, valid, batch=batch, min_inliers=min_inliers,
+        range_weighted_refit=range_weighted_refit,
     )
     delta = Pose(t=res.t, q=r2q(res.r))
     if with_covariance:

@@ -48,7 +48,10 @@ def _sample_hypotheses(key, n, batch, sample_size, valid):
     return idx  # [B, S]
 
 
-@partial(jax.jit, static_argnames=("batch", "sample_size"))
+@partial(
+    jax.jit,
+    static_argnames=("batch", "sample_size", "range_weighted_refit"),
+)
 def ransac_rigid(
     key: jax.Array,
     p1: jnp.ndarray,  # [N, 3] frame-1 points
@@ -58,12 +61,18 @@ def ransac_rigid(
     sample_size: int = 4,
     support_threshold: jnp.ndarray | float | None = None,
     min_inliers: int = 6,
+    range_weighted_refit: bool = False,
 ) -> RansacResult:
     """Estimate (R, t) with p1 ≈ R·p2 + t from masked matched 3D points.
 
     support_threshold: squared-distance inlier gate in m². Default mirrors
     the reference's scene-scaled gate (ransac_dr_ye.m:23,72):
     0.001·dist(nearest valid point in frame 2).
+
+    range_weighted_refit: weight the final Kabsch refit by 1/‖p‖² —
+    inverse variance under the SR4000's angular-dominated noise (lateral
+    σ ∝ range), so distant inliers stop dominating the fit when the map
+    is far away. Inlier GATING stays binary (reference semantics).
     """
     n = p1.shape[0]
     if support_threshold is None:
@@ -95,6 +104,8 @@ def ransac_rigid(
     pred_b = p2 @ fits.r[best].T + fits.t[best]
     resid2_b = jnp.sum((pred_b - p1) ** 2, axis=-1)
     w = ((resid2_b < support_threshold) & valid).astype(p1.dtype)
+    if range_weighted_refit:
+        w = w / jnp.maximum(jnp.sum(p2 * p2, axis=-1), 0.25)
     refit = kabsch(p1, p2, w)
     pred = jnp.einsum("ij,nj->ni", refit.r, p2) + refit.t
     resid2 = jnp.sum((pred - p1) * (pred - p1), axis=-1)
