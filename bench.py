@@ -108,10 +108,12 @@ def main():
         warm = times[N_FRAMES // 4:]
         ref_result["fps"] = 1.0 / float(np.mean(warm))
 
+    # started AFTER the online-streaming section (the last timed TPU
+    # measurement): host CPU/GIL contention from the port thread would
+    # otherwise skew both the host-bound TPU metrics and the port's own
+    # fps denominator (ADVICE r3)
     ref_thread = None
-    if os.environ.get("PRE3_REF_PORT", "1") != "0":
-        ref_thread = threading.Thread(target=_ref_port, daemon=True)
-        ref_thread.start()
+    run_ref_port = os.environ.get("PRE3_REF_PORT", "1") != "0"
     intensity = jnp.asarray(np.stack([f.intensity for f in frames]))
     xyz = jnp.asarray(np.nan_to_num(np.stack([f.xyz for f in frames])))
     conf = jnp.asarray(np.stack([f.confidence for f in frames]))
@@ -264,6 +266,34 @@ def main():
             float(ate_rmse(np.asarray(lsm_t), lgt, align=False)), 4
         )
 
+    # ---- config #2: FAST frontend + NCC warped-patch matcher ----
+    # (the reference's FEATURE_EXTRACTOR='FAST' mode: fast_corner_detect
+    # + matching.m correlation scan; engine: frontend/fast.py +
+    # ekf/ncc_matching.py). Measured at the same operating point as the
+    # headline so BASELINE config #2 has recorded perf (VERDICT r3 #7).
+    cfg_ncc = CFG._replace(matcher="ncc_warp", match_ratio=1.3)
+
+    @jax.jit
+    def fast_ncc_pipeline(intensity, xyz, conf, key):
+        fs = jax.vmap(
+            lambda i, x, c: extract_features(
+                i, x, c, threshold=0.05, max_features=256
+            )
+        )(intensity, xyz, conf)
+        return run_slam(
+            cam, fs, key, cfg=cfg_ncc, n_landmarks=N_LANDMARKS,
+            images=intensity, xyz_imgs=xyz,
+        )
+
+    fast_out, fast_dt = time_reps(
+        lambda r: fast_ncc_pipeline(intensity, xyz, conf,
+                                    jax.random.PRNGKey(r))
+    )
+    extra["slam_fast_ncc_fps"] = round(N_FRAMES / fast_dt, 2)
+    extra["slam_fast_ncc_ate_rmse_m"] = round(
+        float(ate_rmse(np.asarray(fast_out.t), gt, align=False)), 4
+    )
+
     # ---- config #1: VO dead reckoning (FAST+patch frontend) ----
     @jax.jit
     def vo_pipeline(intensity, xyz, conf, key):
@@ -334,6 +364,12 @@ def main():
     n_done = (n_chunks - 1) * c
     extra["online_fps"] = round(n_done / (time.time() - t0), 2)
     extra["online_chunk"] = c
+
+    # all timed TPU sections done — now run the CPU reference port
+    # uncontended (it only shares the host with untimed result assembly)
+    if run_ref_port:
+        ref_thread = threading.Thread(target=_ref_port, daemon=True)
+        ref_thread.start()
 
     if ref_thread is not None:
         ref_thread.join(timeout=600)

@@ -61,7 +61,10 @@ def run(data_dir: str, out_dir: str, n_frames: int = 48):
 
     # 3. stream through OnlineSlam (one fused dispatch per frame)
     slam = OnlineSlam(
-        cam, cfg=SlamConfig(match_ratio=1.3), n_landmarks=64,
+        # initial_orientation: plane-fit gravity prior from frame 0 — the
+        # reference's default startup (initialize_x_and_p.m:35-37)
+        cam, cfg=SlamConfig(match_ratio=1.3, initial_orientation=True),
+        n_landmarks=64,
         extractor_kwargs={"threshold": 0.05, "max_features": 128},
         key=jax.random.PRNGKey(0),
     )

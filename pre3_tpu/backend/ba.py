@@ -58,6 +58,15 @@ class BaProblem(NamedTuple):
     odo_q: jnp.ndarray | None = None  # [F-1, 4] q_i⁻¹ ⊗ q_{i+1}
     odo_w: jnp.ndarray | None = None  # [F-1] per-pair weight (0 disables a
     # factor — e.g. pairs touching padded/invalid keyframe slots)
+    # Loop-closure landmarks: re-acquired by the filter after a long
+    # invisibility gap (the implicit EKF loop closure, vetted by the χ²
+    # rescue machinery rescue_hi_inliers.m:27-47). Their factors are NOT
+    # Huber-down-weighted: a genuine long-baseline constraint looks
+    # exactly like the outlier the robust loss exists to suppress, and
+    # without full quadratic weight BA can smooth but not remove the
+    # accumulated revisit drift (BASELINE.md r3: BA/SLAM plateau ~0.6-0.8
+    # without revisit constraints).
+    lc_lm: jnp.ndarray | None = None  # [L] bool
 
 
 class BaResult(NamedTuple):
@@ -269,7 +278,32 @@ def _cost(cam, kf_t, kf_q, points, obs_uv, mask, obs_xyz, w_xyz_fl,
     return total / jnp.maximum(n, 1)
 
 
-@partial(jax.jit, static_argnames=("iters", "fixed_first"))
+def _depth_weights(
+    mask_xyz: jnp.ndarray,  # [F, L] effective depth-factor mask
+    obs_xyz: jnp.ndarray,  # [F, L, 3]
+    depth_weight: float,
+    depth_range_ref: float,
+    dtype,
+) -> jnp.ndarray:
+    """Per-observation depth-factor weights [F, L].
+
+    depth_range_ref = 0 → the constant depth_weight of the reference-
+    parity setup. depth_range_ref > 0 → SR4000 range-noise model
+    σ_d ∝ range² (ToF amplitude ∝ 1/d², cov_pose_shift_calc.m): weight
+    = depth_weight·(ref/range)², equal to the constant at range = ref —
+    far observations stop over-pinning the solution the way the
+    constant σ = 2 cm prior does (the superlinear late-corridor drift of
+    BASELINE.md's 512-frame run)."""
+    w = mask_xyz.astype(dtype) * depth_weight
+    if depth_range_ref > 0:
+        rng = jnp.linalg.norm(obs_xyz, axis=-1)  # [F, L]
+        rng = jnp.maximum(rng, 0.4)  # SR4000 min-range gate
+        w = w * (depth_range_ref / rng) ** 2
+    return w
+
+
+@partial(jax.jit, static_argnames=("iters", "fixed_first",
+                                   "depth_range_ref"))
 def bundle_adjust(
     cam: Camera,
     problem: BaProblem,
@@ -279,6 +313,7 @@ def bundle_adjust(
     depth_weight: float = 50.0,
     odo_weight_t: float = 20.0,
     odo_weight_r: float = 50.0,
+    depth_range_ref: float = 0.0,
 ) -> BaResult:
     """Fixed-iteration Levenberg–Marquardt BA (static trip count; a step
     that increases the cost is rejected and the damping λ is raised ×10,
@@ -311,17 +346,25 @@ def bundle_adjust(
         mask_xyz = (
             problem.mask_xyz if problem.mask_xyz is not None else problem.mask
         )
-        w_xyz_fl = (problem.mask & mask_xyz).astype(
-            problem.obs_uv.dtype
-        ) * depth_weight
+        w_xyz_fl = _depth_weights(
+            problem.mask & mask_xyz, obs_xyz, depth_weight,
+            depth_range_ref, problem.obs_uv.dtype,
+        )
+
+    # loop-closure landmarks keep full quadratic weight (effectively
+    # infinite Huber delta) — see BaProblem.lc_lm
+    hub = (
+        jnp.where(problem.lc_lm[None, :], 1e6, 3.0)
+        if problem.lc_lm is not None else 3.0
+    )
 
     def gn_step(carry, _):
         kf_t, kf_q, points, lam = carry
         c0 = _cost(cam, kf_t, kf_q, points, problem.obs_uv, problem.mask,
-                   obs_xyz, w_xyz_fl, odo=odo)
+                   obs_xyz, w_xyz_fl, huber_delta=hub, odo=odo)
         hcc, hpp, wcp, bc, bp = _build_normal_eqs(
             cam, kf_t, kf_q, points, problem.obs_uv, problem.mask,
-            obs_xyz, w_xyz_fl, lam,
+            obs_xyz, w_xyz_fl, lam, huber_delta=hub,
         )
         if odo is not None:
             s_extra, rhs_extra, _, _ = _odo_terms(
@@ -336,7 +379,7 @@ def bundle_adjust(
         q2 = qnormalize(qprod(kf_q, v2q(dc[:, 3:])))
         p2 = points + dp
         c1 = _cost(cam, t2, q2, p2, problem.obs_uv, problem.mask,
-                   obs_xyz, w_xyz_fl, odo=odo)
+                   obs_xyz, w_xyz_fl, huber_delta=hub, odo=odo)
         better = c1 < c0
         kf_t = jnp.where(better, t2, kf_t)
         kf_q = jnp.where(better, q2, kf_q)
@@ -355,7 +398,7 @@ def bundle_adjust(
     )
     cost0 = _cost(
         cam, problem.kf_t, problem.kf_q, problem.points, problem.obs_uv,
-        problem.mask, obs_xyz, w_xyz_fl, odo=odo,
+        problem.mask, obs_xyz, w_xyz_fl, huber_delta=hub, odo=odo,
     )
     return BaResult(
         kf_t=kf_t, kf_q=kf_q, points=points,

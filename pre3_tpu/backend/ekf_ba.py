@@ -29,6 +29,9 @@ def ba_problem_from_slam(
     max_landmarks: int | None = None,
     kf_feats=None,  # Features stacked over the M keyframes (optional)
     merge_eps: float = 0.15,  # m — world-point identification radius
+    lc_gap: int = 15,  # frames — a landmark re-measured after ≥ lc_gap
+    # unmeasured frames is a filter-vetted loop closure; its BA factors
+    # keep full quadratic weight (BaProblem.lc_lm, no Huber). 0 = off.
 ) -> BaProblem | None:
     """Build the masked BA tensors from recorded inlier observations.
 
@@ -144,6 +147,25 @@ def ba_problem_from_slam(
 
     has_depth = np.linalg.norm(obs_xyz, axis=-1) > 0.2
 
+    # Loop-closure landmarks (VERDICT r3 #3): scan the FULL per-frame
+    # record stream (not just keyframe rows) for re-acquisitions — a
+    # measured-frame gap ≥ lc_gap means the filter re-matched the
+    # landmark after a long invisibility through the uncertainty-widened
+    # gate (the implicit EKF loop closure; its match was vetted by the
+    # same χ² machinery as rescue_hi_inliers.m:27-47). Those landmarks'
+    # factors carry the only long-baseline information in the problem.
+    lc_lm = np.zeros(l, bool)
+    if lc_gap > 0:
+        for (slot, initf), li in ids.items():
+            li2 = remap[li]
+            if li2 < 0:
+                continue
+            rows = np.nonzero(
+                measured[:, slot] & (init_frame[:, slot] == initf)
+            )[0]
+            if len(rows) >= 2 and int(np.diff(rows).max()) >= lc_gap:
+                lc_lm[li2] = True
+
     # Odometry-chain factors between consecutive keyframes: the filter's
     # own relative motion (t in frame i, q_i⁻¹⊗q_{i+1}). These carry the
     # motion prior into the BA cost, making it a fixed-lag smoother
@@ -177,4 +199,5 @@ def ba_problem_from_slam(
         odo_t=jnp.asarray(odo_t),
         odo_q=jnp.asarray(odo_q),
         odo_w=jnp.asarray(odo_w),
+        lc_lm=jnp.asarray(lc_lm),
     )

@@ -178,6 +178,7 @@ def add_features(
     min_separation_px: float = 10.0,
     std_pxl: float = 1.0,
     depth_sigma: float = 0.01,
+    depth_range_quadratic: bool = False,
     image: jnp.ndarray | None = None,
     sampling: str = "topk",
     key: jax.Array | None = None,
@@ -237,7 +238,16 @@ def add_features(
         uv = frame.uv[fidx]
         xyz = frame.xyz[fidx]
         rho0 = 1.0 / jnp.maximum(jnp.linalg.norm(xyz), 1e-6)
-        sig_rho = depth_sigma * rho0 * rho0
+        # depth-prior std (initialize_a_feature_sift_3.m:116-117):
+        # σρ = σ_d·ρ² with σ_d = depth_sigma (constant 1 cm, reference
+        # parity). The SR4000's actual range noise grows ∝ range²
+        # (amplitude ∝ 1/d², cov_pose_shift_calc.m noise model), i.e.
+        # σ_d = depth_sigma·d² — under which σρ is CONSTANT:
+        # σρ = depth_sigma·d²·ρ² = depth_sigma.
+        sig_rho = (
+            depth_sigma if depth_range_quadratic
+            else depth_sigma * rho0 * rho0
+        )
 
         cam13 = st.x[:CAM_DIM]
 

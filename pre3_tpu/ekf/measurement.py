@@ -147,22 +147,38 @@ def search_ic_matches(
     ratio: float = 1.5,
     gate_sigma: float = 3.0,
     max_gate_px: float = 40.0,
+    gate_first: bool = False,
 ) -> tuple[Observations, EkfState]:
     """Match stored landmark descriptors to the frame's features, gated by
     the predicted search region (search_IC_matches.m:33-44 +
     matching_sift_based.m:118-133). Updates stored descriptors on success
-    (the reference refreshes the per-feature descriptor)."""
-    m = match_descriptors_auto(
-        state.desc, frame.desc, valid1=obs.visible, valid2=frame.valid,
-        ratio=ratio,
-    )
-    z = frame.uv[m.index]  # [K, 2]
+    (the reference refreshes the per-feature descriptor).
+
+    gate_first=False reproduces the reference's order — global best
+    descriptor match first (siftmatch over ALL frame features,
+    matching_sift_based.m:118), search-region gate second (:129-130) — so
+    a landmark whose global best match lands outside its gate gets no
+    match even when an in-gate runner-up is correct. gate_first=True
+    restricts the candidate set to the ellipse BEFORE the ratio test
+    (one [K, N] mask on the distance matrix): recall recovered in
+    repetitive texture at identical cost."""
     # search-region gate: 3σ of the innovation, clamped (reference falls
     # back to 40 px when S is degenerate)
     sig = jnp.sqrt(
         jnp.maximum(jnp.maximum(obs.s[:, 0, 0], obs.s[:, 1, 1]), 1e-9)
     )
     gate = jnp.minimum(gate_sigma * sig, max_gate_px)
+    pair_mask = None
+    if gate_first:
+        d_all = jnp.linalg.norm(
+            frame.uv[None, :, :] - obs.h[:, None, :], axis=-1
+        )  # [K, N]
+        pair_mask = d_all <= gate[:, None]
+    m = match_descriptors_auto(
+        state.desc, frame.desc, valid1=obs.visible, valid2=frame.valid,
+        ratio=ratio, pair_mask=pair_mask,
+    )
+    z = frame.uv[m.index]  # [K, 2]
     dist = jnp.linalg.norm(z - obs.h, axis=-1)
     ic = m.accepted & obs.visible & (dist <= gate)
     new_desc = jnp.where(ic[:, None], frame.desc[m.index], state.desc)

@@ -24,7 +24,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from pre3_tpu.ekf.state import CAM_DIM, EkfState
-from pre3_tpu.geometry.quaternion import e2q, qnormalize, qprod, qrotate
+from pre3_tpu.geometry.quaternion import e2q, qnormalize, qprod, qrotate, v2q
 
 
 def camera_transition(cam: jnp.ndarray, u: jnp.ndarray) -> jnp.ndarray:
@@ -63,6 +63,76 @@ def _norm_jac(q: jnp.ndarray) -> jnp.ndarray:
     return jax.jacfwd(qnormalize)(q)
 
 
+def _propagate(
+    state: EkfState, cam_new: jnp.ndarray, f: jnp.ndarray,
+    q_block: jnp.ndarray,
+) -> EkfState:
+    """Blockwise covariance propagation + quaternion renorm shared by the
+    odometry and constant-velocity predictions
+    (predict_state_and_covariance.m:131,137-143): only the camera
+    row/column strips are touched; the [N²] landmark block passes
+    through untouched."""
+    p = state.p
+    pcc = p[:CAM_DIM, :CAM_DIM]
+    pcl = p[:CAM_DIM, CAM_DIM:]
+    pll = p[CAM_DIM:, CAM_DIM:]
+    pcc_n = f @ pcc @ f.T + q_block
+    pcl_n = f @ pcl
+    jn = _norm_jac(cam_new[3:7])
+    jfull = jnp.eye(CAM_DIM).at[3:7, 3:7].set(jn)
+    pcc_n = jfull @ pcc_n @ jfull.T
+    pcl_n = jfull @ pcl_n
+    p_new = jnp.block([[pcc_n, pcl_n], [pcl_n.T, pll]])
+    p_new = 0.5 * (p_new + p_new.T)
+    cam_new = cam_new.at[3:7].set(qnormalize(cam_new[3:7]))
+    x_new = state.x.at[:CAM_DIM].set(cam_new)
+    return state._replace(x=x_new, p=p_new)
+
+
+def camera_transition_cv(
+    cam: jnp.ndarray, n: jnp.ndarray, dt: float
+) -> jnp.ndarray:
+    """Civera constant-velocity transition with acceleration impulse
+    n = [a(3), α(3)] (the reference's no-odometry estimator path: the
+    original fv.m 'constant_velocity' body, fv.m:98-106 commented form,
+    with Jacobians dfv_by_dxv.m:27-117):
+      v' = v + a·Δt, ω' = ω + α·Δt, r' = r + v'·Δt, q' = q ⊗ v2q(ω'·Δt).
+    The impulse enters position/orientation through the updated
+    velocities — the standard MonoSLAM noise coupling."""
+    r, q = cam[0:3], cam[3:7]
+    v2 = cam[7:10] + n[0:3] * dt
+    w2 = cam[10:13] + n[3:6] * dt
+    r_new = r + v2 * dt
+    q_new = qprod(q, v2q(w2 * dt))
+    return jnp.concatenate([r_new, q_new, v2, w2])
+
+
+@partial(jax.jit, static_argnames=("dt", "std_a", "std_alpha"))
+def predict_cv(
+    state: EkfState,
+    dt: float = 0.1,
+    std_a: float = 0.1,
+    std_alpha: float = 0.1,
+) -> EkfState:
+    """Constant-velocity EKF prediction — the reference estimator mode
+    with MOTION_INPUT off (mono_slam.m:77-78 σa = σα = 0.1; Δt = 0.1 s,
+    predict_state_and_covariance.m:35). The carried v/ω states become
+    live: they propagate the pose and receive the acceleration
+    random-walk noise, so measurement updates estimate them through the
+    correlations this prediction builds."""
+    cam = state.x[:CAM_DIM]
+    zero6 = jnp.zeros(6)
+    cam_new = camera_transition_cv(cam, zero6, dt)
+    f = jax.jacfwd(lambda c: camera_transition_cv(c, zero6, dt))(cam)
+    g = jax.jacfwd(lambda n: camera_transition_cv(cam, n, dt))(zero6)
+    pn = jnp.diag(
+        jnp.concatenate([
+            jnp.full(3, std_a**2), jnp.full(3, std_alpha**2)
+        ])
+    )
+    return _propagate(state, cam_new, f, g @ pn @ g.T)
+
+
 @jax.jit
 def predict(
     state: EkfState, u: jnp.ndarray, pn: jnp.ndarray | None = None
@@ -83,23 +153,4 @@ def predict(
     cam_new = f_fn(cam)
     f = jax.jacfwd(f_fn)(cam)  # [13, 13]
     g = jax.jacfwd(g_fn)(u)  # [13, 7]
-    q_block = g @ pn @ g.T  # [13, 13]
-
-    p = state.p
-    pcc = p[:CAM_DIM, :CAM_DIM]
-    pcl = p[:CAM_DIM, CAM_DIM:]
-    pll = p[CAM_DIM:, CAM_DIM:]
-    pcc_n = f @ pcc @ f.T + q_block
-    pcl_n = f @ pcl
-    # quaternion renormalization Jacobian applied to the q rows/cols
-    # (predict_state_and_covariance.m:137-143)
-    jn = _norm_jac(cam_new[3:7])
-    jfull = jnp.eye(CAM_DIM).at[3:7, 3:7].set(jn)
-    pcc_n = jfull @ pcc_n @ jfull.T
-    pcl_n = jfull @ pcl_n
-    p_new = jnp.block([[pcc_n, pcl_n], [pcl_n.T, pll]])
-    p_new = 0.5 * (p_new + p_new.T)
-
-    cam_new = cam_new.at[3:7].set(qnormalize(cam_new[3:7]))
-    x_new = state.x.at[:CAM_DIM].set(cam_new)
-    return state._replace(x=x_new, p=p_new)
+    return _propagate(state, cam_new, f, g @ pn @ g.T)

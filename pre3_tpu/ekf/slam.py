@@ -40,7 +40,7 @@ from pre3_tpu.ekf.state import EkfState, init_state
 from pre3_tpu.ekf.update import kalman_update
 from pre3_tpu.frontend.pipeline import Features
 from pre3_tpu.geometry.camera import Camera
-from pre3_tpu.geometry.quaternion import r2q, v2q
+from pre3_tpu.geometry.quaternion import qrotate, r2q, v2q
 from pre3_tpu.vo.dead_reckoning import vo_pair
 
 
@@ -86,6 +86,37 @@ class SlamConfig(NamedTuple):
     # Measured: 256-frame corridor ATE 0.243 → 0.209, 512-frame 1.80 →
     # 1.69, no cost. The reference refit is unweighted — set False for
     # parity (find_transform_matrix.m weights all inliers equally).
+    initial_orientation: bool = False  # INITIAL_ORIENTATION_COMPENSATION:
+    # plane-fit gravity-aligned q0 from frame 0's xyz image — the
+    # reference's default startup (initialize_x_and_p.m:35-37). Needs the
+    # raw xyz image at bootstrap (run_slam(xyz_imgs=...), OnlineSlam, or
+    # the pipelined runner); silently identity when none is given.
+    heading_update_every: int = 0  # every N steps, re-fit the floor plane
+    # and apply the gravity-direction update (the reference's commented
+    # online heading correction, mono_slam.m:189-193 ran it every 4
+    # steps). 0 = off. Needs per-frame xyz images.
+    motion_model: str = "odometry"  # prediction model (MOTION_INPUT flag):
+    # "odometry"         — VO increment as control (fv.m:47, the default);
+    #                      VO failure → identity + inflated noise
+    # "odo_cv_fallback"  — VO when it succeeds; on failure COAST on the
+    #                      carried v/ω states (refreshed from VO each good
+    #                      frame, fv.m:47-52) with the constant-velocity
+    #                      transition — robust through texture-poor frames
+    # "cv"               — pure Civera constant-velocity estimator, no VO
+    #                      at all (the reference's MOTION_INPUT-off mode,
+    #                      dfv_by_dxv.m:27-117): v/ω estimated by the EKF
+    dt: float = 0.1  # sensor period (predict_state_and_covariance.m:35)
+    std_a: float = 0.1  # linear acceleration noise (mono_slam.m:76)
+    std_alpha: float = 0.1  # angular acceleration noise (mono_slam.m:77)
+    depth_range_quadratic: bool = False  # SR4000 range noise ∝ range² in
+    # the landmark depth prior (σ_d = depth_sigma·d² → σρ constant)
+    # instead of the reference's constant 1 cm — far landmarks carry an
+    # honestly looser depth prior. See map_management.add_features.
+    match_gate_first: bool = False  # restrict map matching to in-gate
+    # candidates BEFORE the ratio test. False = the reference's order
+    # (global siftmatch, then ellipse gate — matching_sift_based.m:
+    # 118-130), which drops a landmark whose global best match is
+    # out-of-gate even when the in-gate runner-up is right.
 
 
 class StepStats(NamedTuple):
@@ -129,28 +160,77 @@ def slam_step(
     # reference's hand-tuned floor — replacing the purely-constant noise
     # of predict_state_and_covariance.m:98-102 (its commented-out
     # calc_cov_RANSAC_dr_ye intent, realized).
-    vo = vo_pair(
-        prev_frame, frame, kv, batch=cfg.vo_batch,
-        with_covariance=cfg.vo_noise_from_covariance,
-        range_weighted_refit=cfg.vo_range_weighted,
-    )
-    u = jnp.where(
-        vo.ok,
-        jnp.concatenate([vo.delta.t, vo.delta.q]),
-        jnp.array([0.0, 0, 0, 1, 0, 0, 0]),
-    )
-    if cfg.vo_noise_from_covariance:
-        from pre3_tpu.ekf.prediction import _PN
-        from pre3_tpu.geometry.quaternion import q2v
+    if cfg.motion_model == "cv":
+        # pure constant-velocity estimation: no VO at all (the reference
+        # with MOTION_INPUT off) — v/ω are live filter states
+        from pre3_tpu.ekf.prediction import predict_cv
 
-        jq = jax.jacfwd(v2q)(q2v(vo.delta.q))  # [4, 3] ∂q/∂ω at the fit
-        j = jnp.zeros((7, 6)).at[:3, :3].set(jnp.eye(3)).at[3:, 3:].set(jq)
-        pn = j @ vo.cov @ j.T + _PN  # reference floor (precomputed const)
-        # failed VO: fall back to a large-ish identity-motion uncertainty
-        pn = jnp.where(vo.ok, pn, jnp.eye(7) * 1e-3)
-        state = predict(state, u, pn)
+        state = predict_cv(
+            state, dt=cfg.dt, std_a=cfg.std_a, std_alpha=cfg.std_alpha
+        )
+        vo_ok = jnp.asarray(False)
+        vo_inliers = jnp.asarray(0, jnp.int32)
     else:
-        state = predict(state, u)
+        vo = vo_pair(
+            prev_frame, frame, kv, batch=cfg.vo_batch,
+            with_covariance=cfg.vo_noise_from_covariance,
+            range_weighted_refit=cfg.vo_range_weighted,
+        )
+        u = jnp.where(
+            vo.ok,
+            jnp.concatenate([vo.delta.t, vo.delta.q]),
+            jnp.array([0.0, 0, 0, 1, 0, 0, 0]),
+        )
+        q_pre = state.x[3:7]  # orientation BEFORE prediction (fv.m:47)
+        if cfg.vo_noise_from_covariance:
+            from pre3_tpu.ekf.prediction import _PN
+            from pre3_tpu.geometry.quaternion import q2v
+
+            jq = jax.jacfwd(v2q)(q2v(vo.delta.q))  # [4, 3] ∂q/∂ω at fit
+            j = (
+                jnp.zeros((7, 6)).at[:3, :3].set(jnp.eye(3))
+                .at[3:, 3:].set(jq)
+            )
+            pn = j @ vo.cov @ j.T + _PN  # reference floor (precomputed)
+            # failed VO: large-ish identity-motion uncertainty
+            pn = jnp.where(vo.ok, pn, jnp.eye(7) * 1e-3)
+        else:
+            pn = None
+
+        def _odo_predict(s: EkfState) -> EkfState:
+            return predict(s, u) if pn is None else predict(s, u, pn)
+
+        if cfg.motion_model == "odo_cv_fallback":
+            # VO denied → coast on the carried velocities instead of
+            # identity + inflated noise (the untested-texture robustness
+            # the reference gets from its velocity refresh, fv.m:47-52)
+            from pre3_tpu.ekf.prediction import predict_cv
+
+            state = jax.lax.cond(
+                vo.ok, _odo_predict,
+                lambda s: predict_cv(
+                    s, dt=cfg.dt, std_a=cfg.std_a, std_alpha=cfg.std_alpha
+                ),
+                state,
+            )
+        else:
+            state = _odo_predict(state)
+
+        # refresh the carried v/ω states from the VO velocity on success
+        # (exactly fv.m:47-52: vW = R(q)·dX/Δt, wW = q2v(dq)/Δt) — this
+        # is what makes the cv fallback coast on real motion. No effect
+        # on the trajectory in plain odometry mode (v/ω don't enter the
+        # odometry transition or the measurement model).
+        from pre3_tpu.geometry.quaternion import q2v as _q2v
+
+        v_vo = qrotate(q_pre, vo.delta.t) / cfg.dt
+        w_vo = _q2v(vo.delta.q) / cfg.dt
+        x = state.x
+        x = x.at[7:10].set(jnp.where(vo.ok, v_vo, x[7:10]))
+        x = x.at[10:13].set(jnp.where(vo.ok, w_vo, x[10:13]))
+        state = state._replace(x=x)
+        vo_ok = vo.ok
+        vo_inliers = vo.n_inliers
 
     # 2. measurement prediction + matching (descriptor path, or the
     # warped-patch correlation scan of matching.m when matcher=ncc_warp)
@@ -169,7 +249,8 @@ def slam_step(
         )
     else:
         obs, state = search_ic_matches(
-            obs, state, frame, ratio=cfg.match_ratio
+            obs, state, frame, ratio=cfg.match_ratio,
+            gate_first=cfg.match_gate_first,
         )
 
     # 3./4. estimation method dispatch (EST_METHOD, config_file.m:17):
@@ -227,9 +308,35 @@ def slam_step(
         cam_model, state, frame, gate_h, step,
         n_measured=jnp.sum(measured),
         max_adds=cfg.max_adds, min_measured=cfg.min_measured,
-        std_pxl=cfg.std_z, image=image,
+        std_pxl=cfg.std_z,
+        depth_range_quadratic=cfg.depth_range_quadratic, image=image,
         sampling=cfg.init_sampling, key=ka,
     )
+
+    # Optional periodic gravity-direction correction from a per-frame
+    # floor-plane fit (the reference's commented heading update,
+    # mono_slam.m:189-193). Inside the lax.cond so the RANSAC plane fit
+    # costs nothing on the other N−1 steps.
+    if cfg.heading_update_every > 0:
+        if xyz_img is None:
+            raise ValueError(
+                "heading_update_every > 0 needs per-frame xyz images"
+            )
+        from pre3_tpu.backend.plane_fit import floor_up_direction
+        from pre3_tpu.ekf.update import attitude_update
+
+        # fold_in (not another split) keeps the kv/kr/ka streams — and
+        # therefore every heading-off trajectory — bit-identical
+        kh = jax.random.fold_in(key, 7)
+
+        def _with_heading(s: EkfState) -> EkfState:
+            fit = floor_up_direction(kh, jnp.nan_to_num(xyz_img))
+            return attitude_update(s, fit.normal, ok=fit.ok)
+
+        state = jax.lax.cond(
+            jnp.mod(step, cfg.heading_update_every) == 0,
+            _with_heading, lambda s: s, state,
+        )
 
     stats = StepStats(
         n_visible=jnp.sum(obs.visible),
@@ -237,8 +344,8 @@ def slam_step(
         n_li=jnp.sum(li),
         n_hi=jnp.sum(hi),
         n_active=jnp.sum(state.active),
-        vo_ok=vo.ok,
-        vo_inliers=vo.n_inliers,
+        vo_ok=vo_ok,
+        vo_inliers=vo_inliers,
     )
     record = StepRecord(
         z=obs.z, z_xyz=obs.z_xyz, measured=measured,
@@ -261,18 +368,32 @@ def bootstrap_state(
     cfg: SlamConfig = SlamConfig(),
     n_landmarks: int = 64,
     image: jnp.ndarray | None = None,
+    xyz_img: jnp.ndarray | None = None,  # [H, W, 3] frame 0 — enables the
+    # plane-fit orientation prior when cfg.initial_orientation
 ) -> EkfState:
     """Initialize the filter and seed the map from frame 0
-    (initialize_features at step 0, mono_slam.m:140)."""
+    (initialize_features at step 0, mono_slam.m:140). With
+    cfg.initial_orientation and a frame-0 xyz image, x₀'s orientation is
+    the gravity-aligned plane-fit prior (initialize_x_and_p.m:35-37);
+    identity when the fit fails (the flag-off fallback)."""
+    q0 = None
+    if cfg.initial_orientation and xyz_img is not None:
+        from pre3_tpu.backend.plane_fit import initial_orientation_from_floor
+
+        kp, key = jax.random.split(key)
+        q0, _ok = initial_orientation_from_floor(
+            kp, jnp.nan_to_num(xyz_img)
+        )
     state0 = init_state(
-        n_landmarks=n_landmarks, desc_dim=first.desc.shape[-1]
+        n_landmarks=n_landmarks, desc_dim=first.desc.shape[-1], q0=q0
     )
     obs0 = predict_measurements(cam_model, state0, std_z=cfg.std_z)
     return add_features(
         cam_model, state0, first, obs0.h, jnp.asarray(0, jnp.int32),
         n_measured=jnp.asarray(0, jnp.int32),
         max_adds=cfg.max_adds * 4, min_measured=cfg.min_measured,
-        std_pxl=cfg.std_z, image=image,
+        std_pxl=cfg.std_z,
+        depth_range_quadratic=cfg.depth_range_quadratic, image=image,
         sampling=cfg.init_sampling, key=key,
     )
 
@@ -333,6 +454,7 @@ def run_slam(
     state0 = bootstrap_state(
         cam_model, first, kboot, cfg, n_landmarks,
         image=None if images is None else images[0],
+        xyz_img=None if xyz_imgs is None else xyz_imgs[0],
     )
 
     keys = jax.random.split(key, n_frames - 1)
@@ -344,7 +466,7 @@ def run_slam(
         xyz_imgs=None if xyz_imgs is None else xyz_imgs[1:],
     )
     t0 = jnp.zeros((1, 3))
-    q0 = jnp.array([[1.0, 0, 0, 0]])
+    q0 = state0.x[3:7][None]  # identity, or the plane-fit prior
     return SlamTrajectory(
         t=jnp.concatenate([t0, ts]),
         q=jnp.concatenate([q0, qs]),

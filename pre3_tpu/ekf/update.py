@@ -107,6 +107,53 @@ def heading_update(
     return state._replace(x=x_new, p=p_new)
 
 
+def attitude_update(
+    state: EkfState,
+    up_cam: jnp.ndarray,  # [3] observed camera-frame 'up' (floor normal)
+    ok: jnp.ndarray | bool = True,  # [] observation validity gate
+    std_up: float = 0.0175,  # ≈1° direction noise (z_euler_noise_
+    # covariance = (π/180)² per axis, ekf_heading_update.m:38)
+    max_angle_deg: float = 4.0,
+) -> EkfState:
+    """Gravity-direction observation update from a per-frame floor-plane
+    fit — the reference's online 'heading' correction
+    (@ekf_filter/ekf_heading_update.m:28-52, invoked—commented—at
+    mono_slam.m:189-193): there z = R_plane(:,2) (the camera-frame up
+    axis observed by the plane fit) is compared against
+    h = observe_heading_func(q) (the same axis predicted from the filter
+    orientation). Innovations beyond max_angle_deg are rejected outright
+    (find_angle_bw_2_vecs gate), protecting against wrong plane fits.
+    """
+    up_world = jnp.array([0.0, -1.0, 0.0])  # y-down convention
+
+    def h_of(q):
+        from pre3_tpu.geometry.quaternion import qconj, qrotate
+
+        return qrotate(qconj(q), up_world)
+
+    q = state.x[3:7]
+    h = h_of(q)
+    jq = jax.jacfwd(h_of)(q)  # [3, 4]
+    d = state.x.shape[0]
+    hrow = jnp.zeros((3, d)).at[:, 3:7].set(jq)
+    z = up_cam / jnp.maximum(jnp.linalg.norm(up_cam), 1e-9)
+    nu = z - h
+    angle = jnp.arccos(jnp.clip(jnp.dot(z, h), -1.0, 1.0))
+    gate = angle < jnp.radians(max_angle_deg)
+
+    s = hrow @ state.p @ hrow.T + (std_up**2) * jnp.eye(3)
+    kgain = jnp.linalg.solve(s, hrow @ state.p).T  # [D, 3]
+    x_new = state.x + kgain @ nu
+    p_new = state.p - kgain @ s @ kgain.T
+    p_new = 0.5 * (p_new + p_new.T)
+    x_new, p_new = renormalize_quaternion(x_new, p_new)
+    apply = jnp.asarray(ok) & gate
+    return state._replace(
+        x=jnp.where(apply, x_new, state.x),
+        p=jnp.where(apply, p_new, state.p),
+    )
+
+
 def iterated_kalman_update(
     cam_model,
     state: EkfState,

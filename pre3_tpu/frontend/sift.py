@@ -156,7 +156,7 @@ def _detect_octave(
     score = jnp.where(ok, jnp.abs(refined), 0.0)
 
     flat = score.reshape(-1)
-    if jax.default_backend() == "tpu":
+    if _fast_math():
         # TPU-optimized partial sort: exact top_k fully sorts the ~127k
         # candidate scores per octave; approx_max_k (recall ≥ 0.98 here —
         # losses only among the weakest responses) is markedly cheaper
@@ -289,6 +289,22 @@ def _orientations(
 # ---------------------------------------------------------------------------
 
 
+def _fast_math() -> bool:
+    """TPU fast-math branch selection (approx_max_k top-k, bf16 band/
+    descriptor matmuls). Env override PRE3_SIFT_FAST_MATH: "1" forces the
+    fast branches on (testable on CPU), "0" forces exact f32 (TPU
+    debugging), unset = fast on TPU only. Read at TRACE time — changing
+    the env after a jitted caller compiled does not retrace; tests should
+    wrap a fresh jit (tests/test_sift.py::TestFastMathBranches).
+    """
+    import os
+
+    v = os.environ.get("PRE3_SIFT_FAST_MATH")
+    if v is not None:
+        return v == "1"
+    return jax.default_backend() == "tpu"
+
+
 def _band_matrix(n: int, delta: float) -> np.ndarray:
     """[n, n] banded triangle-filter matrix: B[p, q] = hat((p−q)/Δ).
     Static (trace-time numpy) — one per (level, axis length)."""
@@ -313,11 +329,11 @@ def _tri_sepconv(x: jnp.ndarray, delta: float) -> jnp.ndarray:
     # bf16 inputs with f32 accumulation on TPU: these matmuls feed the
     # descriptor (normalized + clamped downstream), where bf16's ~3
     # decimal digits are ample; ~2× MXU throughput. CPU keeps f32.
-    if jax.default_backend() == "tpu":
+    if _fast_math():
         br, bc, x = (a.astype(jnp.bfloat16) for a in (br, bc, x))
     y = jnp.einsum("hH,Hwc->hwc", br, x,
                    preferred_element_type=jnp.float32)
-    if jax.default_backend() == "tpu":
+    if _fast_math():
         y = y.astype(jnp.bfloat16)
     return jnp.einsum("wW,hWc->hwc", bc, y,
                       preferred_element_type=jnp.float32)
@@ -392,7 +408,7 @@ def _descriptors_dense(
     )  # [K·16, H]
     # binned [L, H, W, 8] → [L·W, H·8]; tmp[x, h, o] = Σ_{l,c} wlc·binned
     src = binned.transpose(0, 2, 1, 3).reshape(n_lev * w, h * NBO)
-    if jax.default_backend() == "tpu":  # bf16 taps, f32 accumulate
+    if _fast_math():  # bf16 taps, f32 accumulate
         wlc = wlc.astype(jnp.bfloat16)
         src = src.astype(jnp.bfloat16)
         wr = wr.astype(jnp.bfloat16)

@@ -67,12 +67,19 @@ def match_descriptors(
     valid2: jnp.ndarray | None = None,
     ratio: float = 1.5,
     mutual: bool = False,
+    pair_mask: jnp.ndarray | None = None,
 ) -> Matches:
     """XLA-path matcher. `ratio` follows siftmatch.c semantics: accept when
-    best_dist2 * ratio < second_dist2 (ratio > 1)."""
+    best_dist2 * ratio < second_dist2 (ratio > 1).
+
+    pair_mask [N1, N2]: optional per-pair candidate restriction (e.g. the
+    EKF search ellipse) applied BEFORE the best/second reduction — the
+    ratio test then runs among the admissible candidates only."""
     dist2 = _pairwise_dist2(d1, d2)
     if valid2 is not None:
         dist2 = jnp.where(valid2[None, :], dist2, BIG)
+    if pair_mask is not None:
+        dist2 = jnp.where(pair_mask, dist2, BIG)
     idx, best, second = _best_two(dist2)
     accepted = best * ratio < second
     accepted &= best < BIG
@@ -216,14 +223,18 @@ def match_descriptors_auto(
     valid1: jnp.ndarray | None = None,
     valid2: jnp.ndarray | None = None,
     ratio: float = 1.5,
+    pair_mask: jnp.ndarray | None = None,
 ) -> Matches:
     """Production matcher: routes large problems through the Pallas
     streaming kernel on TPU, everything else through XLA. Shapes are
-    static under jit, so the dispatch is trace-time."""
+    static under jit, so the dispatch is trace-time. pair_mask forces the
+    XLA path (the streaming kernel keeps no [N1, N2] tile to mask — and
+    the gated problems are map-sized, far below the Pallas cutover)."""
     n1, n2 = d1.shape[0], d2.shape[0]
     on_tpu = jax.default_backend() == "tpu"
-    if on_tpu and n1 * n2 >= _PALLAS_MIN_ELEMS:
+    if pair_mask is None and on_tpu and n1 * n2 >= _PALLAS_MIN_ELEMS:
         return match_descriptors_pallas(
             d1, d2, valid1=valid1, valid2=valid2, ratio=ratio
         )
-    return match_descriptors(d1, d2, valid1=valid1, valid2=valid2, ratio=ratio)
+    return match_descriptors(d1, d2, valid1=valid1, valid2=valid2,
+                             ratio=ratio, pair_mask=pair_mask)

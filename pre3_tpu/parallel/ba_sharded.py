@@ -23,7 +23,7 @@ import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from pre3_tpu.backend.ba import (
-    BaProblem, BaResult, _build_normal_eqs, _cost,
+    BaProblem, BaResult, _build_normal_eqs, _cost, _odo_terms,
 )
 from pre3_tpu.parallel.distributed import globalize_replicated
 from pre3_tpu.geometry.camera import Camera
@@ -52,6 +52,7 @@ def _pad_landmarks(problem: BaProblem, n_devices: int) -> tuple[BaProblem, int]:
             points=pad(problem.points, 0),
             obs_xyz=pad(problem.obs_xyz, 1),
             mask_xyz=pad(problem.mask_xyz, 1),
+            lc_lm=pad(problem.lc_lm, 0),
         ),
         l,
     )
@@ -64,13 +65,28 @@ def bundle_adjust_sharded(
     iters: int = 10,
     damping: float = 1e-3,
     depth_weight: float = 50.0,
+    odo_weight_t: float = 20.0,
+    odo_weight_r: float = 50.0,
+    depth_range_ref: float = 0.0,
     axis: str = "lm",
 ) -> BaResult:
     """Landmark-sharded BA. Numerically identical to backend.ba.
-    bundle_adjust (same math, the psum just reorders the reduction)."""
+    bundle_adjust (same math, the psum just reorders the reduction),
+    INCLUDING the keyframe odometry-chain factors (problem.odo_t/odo_q/
+    odo_w): they couple only camera poses and are replicated, so their
+    Gauss-Newton terms add to the psum'd reduced system once per device
+    (post-psum, not summed across the mesh) and their residuals enter
+    the LM accept/reject cost — without them the distributed path would
+    re-estimate poses from landmark factors alone and regress on
+    loop-free sequences exactly as BASELINE.md round 2 measured."""
     n_dev = mesh.shape[axis]
     problem, l_orig = _pad_landmarks(problem, n_dev)
     f, l = problem.mask.shape
+    has_odo = problem.odo_t is not None
+    odo_w = (
+        problem.odo_w if problem.odo_w is not None
+        else jnp.ones(f - 1, problem.kf_t.dtype)
+    ) if has_odo else None
 
     obs_xyz = (
         problem.obs_xyz
@@ -80,20 +96,74 @@ def bundle_adjust_sharded(
     mask_xyz = (
         problem.mask_xyz if problem.mask_xyz is not None else problem.mask
     )
-    w_xyz_fl = (problem.mask & mask_xyz).astype(
-        problem.obs_uv.dtype
-    ) * depth_weight
+    from pre3_tpu.backend.ba import _depth_weights
 
+    w_xyz_fl = _depth_weights(
+        problem.mask & mask_xyz, obs_xyz, depth_weight,
+        depth_range_ref, problem.obs_uv.dtype,
+    )
+
+    run = _make_run(mesh, cam, iters, damping, odo_weight_t,
+                    odo_weight_r, axis, n_dev, f, has_odo, l_orig)
+
+    # dummy (zero-weight) odo tensors keep the jit signature static when
+    # the problem has no odometry chain
+    if has_odo:
+        odo_t_in, odo_q_in, odo_w_in = problem.odo_t, problem.odo_q, odo_w
+    else:
+        odo_t_in = jnp.zeros((f - 1, 3), problem.kf_t.dtype)
+        odo_q_in = jnp.tile(
+            jnp.array([1.0, 0, 0, 0], problem.kf_t.dtype), (f - 1, 1)
+        )
+        odo_w_in = jnp.zeros(f - 1, problem.kf_t.dtype)
+    lc_in = (
+        problem.lc_lm if problem.lc_lm is not None
+        else jnp.zeros(l, bool)
+    )
+
+    g = partial(globalize_replicated, mesh)
+    with jax.set_mesh(mesh):
+        kf_t, kf_q, points, costs = run(
+            g(problem.kf_t), g(problem.kf_q), g(problem.points),
+            g(problem.obs_uv), g(problem.mask), g(obs_xyz), g(w_xyz_fl),
+            g(odo_t_in), g(odo_q_in), g(odo_w_in), g(lc_in),
+        )
+    return BaResult(kf_t=kf_t, kf_q=kf_q, points=points, cost=costs)
+
+
+_RUN_CACHE: dict = {}
+
+
+def _make_run(mesh, cam, iters, damping, odo_weight_t, odo_weight_r,
+              axis, n_dev, f, has_odo, l_orig):
+    """Build (once per configuration/shape) the jitted sharded GN loop.
+    The cache is load-bearing: a fresh shard_map + jit closure per call
+    would recompile the whole distributed program on every invocation
+    (measured: a 10-iteration F=64/L=512 solve spent ~10 s/call in CPU
+    recompiles before this cache — the 2-rank 'inefficiency' in the first
+    tools/measure_2rank.py run was compile time, not communication).
+    Keyed manually: Camera carries numpy 0-d arrays (unhashable)."""
+    key = (
+        mesh, tuple(float(v) for v in (cam.f, cam.cx, cam.cy, cam.k1,
+                                       cam.k2)),
+        cam.n_rows, cam.n_cols, iters, float(damping),
+        float(odo_weight_t), float(odo_weight_r), axis, n_dev, f,
+        has_odo, l_orig,
+    )
+    if key in _RUN_CACHE:
+        return _RUN_CACHE[key]
     lm_spec = P(None, axis)  # [F, L*] tensors
     pt_spec = P(axis)  # [L*, ...] tensors
     rep = P()
 
     def local_step(kf_t, kf_q, points_l, obs_uv_l, mask_l, obs_xyz_l,
-                   w_xyz_l, lam):
-        """Runs per device on its landmark shard."""
+                   w_xyz_l, lam, odo_t, odo_q, odo_wv, lc_l):
+        """Runs per device on its landmark shard. odo_* are replicated
+        (camera-chain factors, added once post-psum); lc_l is the local
+        shard's loop-closure mask (un-Huberized factors)."""
         hcc, hpp, wcp, bc, bp = _build_normal_eqs(
             cam, kf_t, kf_q, points_l, obs_uv_l, mask_l, obs_xyz_l,
-            w_xyz_l, lam,
+            w_xyz_l, lam, huber_delta=jnp.where(lc_l[None, :], 1e6, 3.0),
         )
         # local Schur contribution
         hpp_inv = jnp.linalg.inv(hpp)
@@ -113,6 +183,17 @@ def bundle_adjust_sharded(
         s_full = s_full.at[diag_idx, :, diag_idx, :].add(
             -extra * jnp.eye(6)[None]
         )
+        # odometry-chain camera-camera factors: every device holds the
+        # full reduced system after the psum, so the replicated odo terms
+        # are added exactly once per copy (NOT psum'd — that would scale
+        # them by n_dev)
+        if has_odo:
+            s_add, rhs_add, _, _ = _odo_terms(
+                kf_t, kf_q, odo_t, odo_q, odo_weight_t, odo_weight_r,
+                odo_wv,
+            )
+            s_full = s_full + s_add
+            rhs_full = rhs_full + rhs_add
         # gauge: freeze keyframe 0
         keep = jnp.ones((f,)).at[0].set(0.0)
         s_full = (
@@ -137,7 +218,7 @@ def bundle_adjust_sharded(
         local_step,
         mesh=mesh,
         in_specs=(rep, rep, pt_spec, lm_spec, lm_spec, lm_spec, lm_spec,
-                  rep),
+                  rep, rep, rep, rep, pt_spec),
         out_specs=(rep, pt_spec),
     )
 
@@ -147,18 +228,27 @@ def bundle_adjust_sharded(
     # shard_map in_specs distribute the landmark axis from the replicated
     # copies (a local slice, no communication).
     @jax.jit
-    def run(kf_t, kf_q, points, obs_uv, mask, obs_xyz, w_xyz_fl):
+    def run(kf_t, kf_q, points, obs_uv, mask, obs_xyz, w_xyz_fl,
+            odo_t, odo_q, odo_wv, lc):
+        odo = (
+            (odo_t, odo_q, odo_weight_t, odo_weight_r, odo_wv)
+            if has_odo else None
+        )
+        hub = jnp.where(lc[None, :], 1e6, 3.0)
+
         def gn_step(carry, _):
             kf_t, kf_q, points, lam = carry
             c0 = _cost(cam, kf_t, kf_q, points, obs_uv, mask,
-                       obs_xyz, w_xyz_fl)
+                       obs_xyz, w_xyz_fl, huber_delta=hub, odo=odo)
             dc, dp = sharded(
                 kf_t, kf_q, points, obs_uv, mask, obs_xyz, w_xyz_fl, lam,
+                odo_t, odo_q, odo_wv, lc,
             )
             t2 = kf_t + dc[:, :3]
             q2 = qnormalize(qprod(kf_q, v2q(dc[:, 3:])))
             p2 = points + dp
-            c1 = _cost(cam, t2, q2, p2, obs_uv, mask, obs_xyz, w_xyz_fl)
+            c1 = _cost(cam, t2, q2, p2, obs_uv, mask, obs_xyz, w_xyz_fl,
+                       huber_delta=hub, odo=odo)
             better = c1 < c0
             # LM damping schedule — identical to backend.ba.bundle_adjust
             lam = jnp.where(
@@ -174,7 +264,7 @@ def bundle_adjust_sharded(
             ), jnp.where(better, c1, c0)
 
         cost0 = _cost(cam, kf_t, kf_q, points, obs_uv, mask, obs_xyz,
-                      w_xyz_fl)
+                      w_xyz_fl, huber_delta=hub, odo=odo)
         lam0 = jnp.asarray(damping, kf_t.dtype)
         (t, q, p, _lam), costs = jax.lax.scan(
             gn_step, (kf_t, kf_q, points, lam0), None, length=iters
@@ -183,10 +273,5 @@ def bundle_adjust_sharded(
         p = jax.lax.with_sharding_constraint(p, NamedSharding(mesh, P()))
         return t, q, p[:l_orig], jnp.concatenate([cost0[None], costs])
 
-    g = partial(globalize_replicated, mesh)
-    with jax.set_mesh(mesh):
-        kf_t, kf_q, points, costs = run(
-            g(problem.kf_t), g(problem.kf_q), g(problem.points),
-            g(problem.obs_uv), g(problem.mask), g(obs_xyz), g(w_xyz_fl),
-        )
-    return BaResult(kf_t=kf_t, kf_q=kf_q, points=points, cost=costs)
+    _RUN_CACHE[key] = run
+    return run

@@ -89,6 +89,9 @@ class OnlineSlam:
         else:
             raise ValueError(f"unknown extractor {extractor!r}")
         needs_image = cfg.matcher == "ncc_warp"
+        # the periodic floor-plane heading update needs the raw xyz image
+        # even on the descriptor-matcher path
+        needs_xyz = needs_image or cfg.heading_update_every > 0
 
         def fused(state, key, step_i, prev, intensity, xyz, conf):
             """Whole per-frame pipeline as one program. All recurrent
@@ -102,7 +105,7 @@ class OnlineSlam:
             state, (stats, record) = slam_step(
                 cam, state, feats, prev, step_i, sub, cfg,
                 image=img if needs_image else None,
-                xyz_img=xyzj if needs_image else None,
+                xyz_img=xyzj if needs_xyz else None,
             )
             return (state, key, step_i + 1, feats,
                     state.x[0:3], state.x[3:7], stats, record)
@@ -115,12 +118,25 @@ class OnlineSlam:
 
         def boot(key, intensity, xyz, conf):
             img = jnp.asarray(intensity, jnp.float32)
+            xyzj = jnp.asarray(xyz, jnp.float32)
             feats = self._featurize(
-                img, jnp.asarray(xyz, jnp.float32),
-                jnp.asarray(conf, jnp.float32),
+                img, xyzj, jnp.asarray(conf, jnp.float32)
             )
+            q0 = None
+            if cfg.initial_orientation:
+                # plane-fit gravity prior from frame 0
+                # (initialize_x_and_p.m:35-37); fold_in keeps the main
+                # key stream identical to the flag-off run
+                from pre3_tpu.backend.plane_fit import (
+                    initial_orientation_from_floor,
+                )
+
+                q0, _ok = initial_orientation_from_floor(
+                    jax.random.fold_in(key, 3), jnp.nan_to_num(xyzj)
+                )
             state = init_state(
-                n_landmarks=n_landmarks, desc_dim=feats.desc.shape[-1]
+                n_landmarks=n_landmarks, desc_dim=feats.desc.shape[-1],
+                q0=q0,
             )
             key, sub = jax.random.split(key)
             obs0 = predict_measurements(cam, state, std_z=cfg.std_z)
@@ -130,6 +146,7 @@ class OnlineSlam:
                 max_adds=cfg.max_adds * 4,
                 min_measured=cfg.min_measured,
                 std_pxl=cfg.std_z,
+                depth_range_quadratic=cfg.depth_range_quadratic,
                 image=img if needs_image else None,
                 sampling=cfg.init_sampling, key=sub,
             )
@@ -161,7 +178,7 @@ class OnlineSlam:
                 cam, state, prev, feats, keys[1:],
                 step_i + jnp.arange(c, dtype=jnp.int32), cfg,
                 images=img if needs_image else None,
-                xyz_imgs=xyzj if needs_image else None,
+                xyz_imgs=xyzj if needs_xyz else None,
             )
             last = jax.tree.map(lambda a: a[-1], feats)
             return (state, keys[0], step_i + c, last, ts, qs, stats, recs)
@@ -192,6 +209,11 @@ class OnlineSlam:
                 self._carry = (state, key, step, feats)
                 res = StepResult(0, t, q, None)
             else:
+                if self._carry[3] is None:
+                    raise RuntimeError(
+                        "previous-frame features are unset — call prime() "
+                        "after resume() before streaming frames"
+                    )
                 state, key, step, feats, t, q, stats, rec = self._jfused(
                     *self._carry, intensity, xyz, confidence
                 )
@@ -218,6 +240,11 @@ class OnlineSlam:
         mode (both faster than the 10 Hz sensor)."""
         if self._carry is None:
             raise RuntimeError("bootstrap with process() before chunks")
+        if self._carry[3] is None:
+            raise RuntimeError(
+                "previous-frame features are unset — call prime() after "
+                "resume() before streaming frames"
+            )
         c = intensity.shape[0]
         with self.timer.stage("dispatch"):
             state, key, step, feats, ts, qs, stats, recs = self._jchunk(

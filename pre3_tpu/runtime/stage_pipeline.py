@@ -29,7 +29,7 @@ in __graft_entry__.dryrun_multichip.
 
 from __future__ import annotations
 
-from functools import partial
+from functools import lru_cache, partial
 from typing import Callable
 
 import jax
@@ -54,19 +54,15 @@ def _extractor(name: str, kwargs: dict | None) -> Callable:
     raise ValueError(f"unknown extractor {name!r}")
 
 
-def sharded_extract(
-    mesh: Mesh,
-    intensity: jnp.ndarray,  # [C, H, W] — C divisible by the axis size
-    xyz: jnp.ndarray,  # [C, H, W, 3]
-    conf: jnp.ndarray,  # [C, H, W]
-    extractor: str = "sift",
-    extractor_kwargs: dict | None = None,
-    axis: str | None = None,
-) -> Features:
-    """Frame-sharded frontend: extraction SPMD over `axis`, features
-    returned replicated (XLA all-gathers — the .mat handoff analog)."""
-    axis = axis or mesh.axis_names[0]
-    fe = _extractor(extractor, extractor_kwargs)
+@lru_cache(maxsize=32)
+def _sharded_extract_fn(
+    mesh: Mesh, extractor: str, kwargs_items: tuple, axis: str
+) -> Callable:
+    """Build (once per (mesh, extractor, kwargs, axis)) the jitted SPMD
+    extraction program. The cache is load-bearing: a fresh closure per
+    call would defeat jax.jit's executable cache and recompile the
+    frontend on every chunk, blocking the host mid-pipeline."""
+    fe = _extractor(extractor, dict(kwargs_items))
     shard = NamedSharding(mesh, P(axis))
     repl = NamedSharding(mesh, P())
 
@@ -81,7 +77,25 @@ def sharded_extract(
         c = jax.lax.with_sharding_constraint(c, shard)
         return jax.vmap(fe)(i, x, c)
 
-    fn = jax.jit(body, out_shardings=repl)
+    return jax.jit(body, out_shardings=repl)
+
+
+def sharded_extract(
+    mesh: Mesh,
+    intensity: jnp.ndarray,  # [C, H, W] — C divisible by the axis size
+    xyz: jnp.ndarray,  # [C, H, W, 3]
+    conf: jnp.ndarray,  # [C, H, W]
+    extractor: str = "sift",
+    extractor_kwargs: dict | None = None,
+    axis: str | None = None,
+) -> Features:
+    """Frame-sharded frontend: extraction SPMD over `axis`, features
+    returned replicated (XLA all-gathers — the .mat handoff analog)."""
+    axis = axis or mesh.axis_names[0]
+    fn = _sharded_extract_fn(
+        mesh, extractor,
+        tuple(sorted((extractor_kwargs or {}).items())), axis,
+    )
     return fn(intensity, xyz, conf)
 
 
@@ -137,8 +151,11 @@ def run_slam_pipelined(
     feats0 = fe_chunk(0, 1)
     first = jax.tree.map(lambda a: a[0], feats0)
     state = jax.jit(
-        lambda f, k: bootstrap_state(cam, f, k, cfg, n_landmarks)
-    )(first, kboot)
+        lambda f, k, x0: bootstrap_state(
+            cam, f, k, cfg, n_landmarks, xyz_img=x0
+        )
+    )(first, kboot, xyz[0])
+    q0_row = state.x[3:7][None]  # before jscan donates the state buffers
 
     # software pipeline: keep the NEXT chunk's frontend in flight
     pending = fe_chunk(*bounds[0]) if bounds else None
@@ -157,9 +174,7 @@ def run_slam_pipelined(
         outs.append(out)
 
     ts = jnp.concatenate([jnp.zeros((1, 3))] + [o[0] for o in outs])
-    qs = jnp.concatenate(
-        [jnp.array([[1.0, 0, 0, 0]])] + [o[1] for o in outs]
-    )
+    qs = jnp.concatenate([q0_row] + [o[1] for o in outs])
     stats = jax.tree.map(lambda *xs: jnp.concatenate(xs),
                          *[o[2] for o in outs])
     records = jax.tree.map(lambda *xs: jnp.concatenate(xs),

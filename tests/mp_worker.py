@@ -63,9 +63,22 @@ def main() -> None:
         "lm": nproc, "hyp": 2,
     }
 
-    # --- distributed BA: landmark shards across processes ---------------
-    prob, _ = make_ba_problem(n_kf=4, n_lm=24, seed=21, t_noise=0.03,
-                              p_noise=0.03)
+    # --- distributed BA: landmark shards across processes, WITH the
+    # keyframe odometry-chain factors (feature parity with backend.ba) ---
+    from pre3_tpu.geometry.quaternion import qconj, qprod, qrotate
+
+    prob, (gt_t, gt_q, _) = make_ba_problem(
+        n_kf=4, n_lm=24, seed=21, t_noise=0.03, p_noise=0.03
+    )
+    odo_t = jnp.stack([
+        qrotate(qconj(gt_q[i]), gt_t[i + 1] - gt_t[i]) for i in range(3)
+    ])
+    odo_q = jnp.stack(
+        [qprod(qconj(gt_q[i]), gt_q[i + 1]) for i in range(3)]
+    )
+    prob = prob._replace(
+        odo_t=odo_t, odo_q=odo_q, odo_w=jnp.ones(3, jnp.float32)
+    )
     ba = bundle_adjust_sharded(mesh, CAM, prob, iters=8, axis="lm")
 
     # --- hypothesis-sharded RANSAC across local devices ------------------

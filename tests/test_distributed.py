@@ -72,6 +72,46 @@ class TestDistributedBa:
             np.asarray(dist.kf_t), np.asarray(gt_t), atol=5e-3
         )
 
+    def test_matches_single_device_with_odo_factors(self):
+        # VERDICT r3 #1: the distributed path must carry the odometry-
+        # chain factors (the difference between BA helping and hurting on
+        # loop-free sequences, BASELINE.md round 2) — equality vs the
+        # single-device backend WITH odo_t/odo_q/odo_w set.
+        from pre3_tpu.geometry.quaternion import qconj, qprod, qrotate
+
+        prob, (gt_t, gt_q, _) = make_ba_problem(
+            n_kf=5, n_lm=48, seed=24, t_noise=0.03, p_noise=0.03
+        )
+        odo_t = jnp.stack([
+            qrotate(qconj(gt_q[i]), gt_t[i + 1] - gt_t[i])
+            for i in range(4)
+        ])
+        odo_q = jnp.stack(
+            [qprod(qconj(gt_q[i]), gt_q[i + 1]) for i in range(4)]
+        )
+        odo_w = jnp.array([1.0, 1.0, 0.0, 1.0])  # one disabled factor
+        prob = prob._replace(odo_t=odo_t, odo_q=odo_q, odo_w=odo_w)
+
+        single = bundle_adjust(CAM, prob, iters=8)
+        mesh = make_mesh(8, axis="lm")
+        dist = bundle_adjust_sharded(mesh, CAM, prob, iters=8)
+        # identical math → identical LM accept/reject decisions; only
+        # psum reduction order differs (atol floors the converged-noise
+        # tail, which sits at ~5e-11 pure f32 rounding)
+        np.testing.assert_allclose(
+            np.asarray(dist.cost), np.asarray(single.cost),
+            rtol=1e-4, atol=1e-9,
+        )
+        np.testing.assert_allclose(
+            np.asarray(dist.kf_t), np.asarray(single.kf_t), atol=1e-3
+        )
+        np.testing.assert_allclose(
+            np.asarray(dist.points), np.asarray(single.points), atol=5e-3
+        )
+        np.testing.assert_allclose(
+            np.asarray(dist.kf_t), np.asarray(gt_t), atol=5e-3
+        )
+
     def test_two_device_submesh(self):
         prob, (gt_t, _, _) = make_ba_problem(
             n_kf=4, n_lm=40, seed=23, t_noise=0.02, p_noise=0.02

@@ -116,3 +116,40 @@ class TestMatching:
             np.asarray(pal.index)[acc], np.asarray(ref.index)[acc]
         )
         np.testing.assert_allclose(pal.dist2, ref.dist2, atol=1e-5)
+
+
+def test_match_pair_mask_recovers_in_gate_runner_up():
+    """gate-first matching (VERDICT r3 #9): a landmark whose GLOBAL best
+    descriptor match lies outside the search gate must still match the
+    correct in-gate runner-up once the ellipse mask is applied before
+    the ratio test."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from pre3_tpu.ops.matching import match_descriptors
+
+    rng = np.random.default_rng(0)
+    d_true = rng.normal(size=(128,)).astype(np.float32)
+    d_true /= np.linalg.norm(d_true)
+    # frame: feature 0 = near-identical distractor (out of gate),
+    # feature 1 = the true match (in gate), feature 2 = unrelated
+    jitter = rng.normal(scale=0.01, size=(128,)).astype(np.float32)
+    d2 = np.stack([
+        d_true + 0.9 * jitter,  # distractor: globally closest
+        d_true + 1.0 * jitter,
+        rng.normal(size=(128,)).astype(np.float32),
+    ])
+    d1 = d_true[None]
+    # global order: best = 0 (distractor), runner-up = 1 (true)
+    m_global = match_descriptors(jnp.asarray(d1), jnp.asarray(d2),
+                                 ratio=1.5)
+    assert int(m_global.index[0]) == 0
+    # near-duplicate best/second (0.81 vs 1.0 in squared dist) →
+    # the global ratio test kills the match entirely
+    assert not bool(m_global.accepted[0])
+    # gate excludes the distractor → the true match wins and accepts
+    mask = jnp.asarray([[False, True, True]])
+    m_gated = match_descriptors(jnp.asarray(d1), jnp.asarray(d2),
+                                ratio=1.5, pair_mask=mask)
+    assert int(m_gated.index[0]) == 1
+    assert bool(m_gated.accepted[0])

@@ -222,3 +222,57 @@ class TestMultiOrientation:
         # rotation must not collapse matching (an upright extractor scores
         # ~0 at 45°); exact rates are recorded in PARITY.md
         assert min(rates.values()) > 0.10, rates
+
+
+class TestFastMathBranches:
+    """The TPU fast-math branches (approx_max_k + bf16 matmuls) forced
+    on CPU via PRE3_SIFT_FAST_MATH (ADVICE r3): the fast path must stay
+    numerically close to the exact path — descriptor matches agree and
+    keypoint sets overlap strongly."""
+
+    def test_fast_branch_close_to_exact_on_cpu(self, monkeypatch):
+        import jax
+        import jax.numpy as jnp
+        import numpy as np
+
+        from pre3_tpu.data.synthetic import render_sequence
+        from pre3_tpu.frontend.pipeline import extract_features_sift
+
+        frames, _, _ = render_sequence(n_frames=1, n_points=300,
+                                       noise=0.004)
+        f = frames[0]
+        args = (jnp.asarray(f.intensity), jnp.asarray(f.xyz),
+                jnp.asarray(f.confidence))
+
+        def run():
+            # fresh jit wrapper per branch: _fast_math() is read at trace
+            # time, so a shared cache would pin the first branch
+            return jax.jit(
+                lambda i, x, c: extract_features_sift(
+                    i, x, c, keypoints_per_octave=48
+                )
+            )(*args)
+
+        monkeypatch.setenv("PRE3_SIFT_FAST_MATH", "0")
+        exact = run()
+        monkeypatch.setenv("PRE3_SIFT_FAST_MATH", "1")
+        fast = run()
+
+        uv_e = np.asarray(exact.uv)[np.asarray(exact.valid)]
+        uv_f = np.asarray(fast.uv)[np.asarray(fast.valid)]
+        assert len(uv_f) > 0.8 * len(uv_e)
+        # ≥80% of exact keypoints have a fast keypoint within 1 px
+        d = np.linalg.norm(uv_e[:, None] - uv_f[None], axis=-1)
+        overlap = (d.min(axis=1) < 1.0).mean()
+        assert overlap > 0.8, f"keypoint overlap {overlap:.2f}"
+        # descriptors at co-located keypoints are close (bf16 tolerance)
+        pairs = np.nonzero(d.min(axis=1) < 0.25)[0]
+        j = d.argmin(axis=1)[pairs]
+        de = np.asarray(exact.desc)[np.asarray(exact.valid)][pairs]
+        df = np.asarray(fast.desc)[np.asarray(fast.valid)][j]
+        cos = np.sum(de * df, -1) / np.maximum(
+            np.linalg.norm(de, axis=-1) * np.linalg.norm(df, axis=-1),
+            1e-9,
+        )
+        assert len(pairs) >= 10
+        assert float(np.median(cos)) > 0.99, float(np.median(cos))

@@ -137,3 +137,85 @@ def test_slam_ncc_warp_matcher_sequence(seq7, fast_feats):
     assert ate < 0.08, f"SLAM(NCC) ATE {ate:.3f} m"
     s = out.stats
     assert np.asarray(s.n_li).mean() > 5
+
+
+@pytest.mark.slow
+def test_slam_constant_velocity_mode(seq7, fast_feats):
+    """motion_model='cv': the pure Civera constant-velocity estimator
+    (the reference with MOTION_INPUT off, dfv_by_dxv.m:27-117) — no VO
+    at all; v/ω are estimated by the EKF through the correlations the
+    cv prediction builds. Tracks the smooth synthetic motion, within a
+    looser bound than the odometry-driven filter."""
+    _, traj, _ = seq7
+    out = run_slam(CAM, fast_feats, jax.random.PRNGKey(1), n_landmarks=32,
+                   cfg=SlamConfig(match_ratio=1.3, motion_model="cv"))
+    ate = ate_rmse(np.asarray(out.t), _gt(traj), align=False)
+    assert ate < 0.12, f"SLAM(cv) ATE {ate:.3f} m"
+    s = out.stats
+    assert not np.asarray(s.vo_ok).any()  # VO is never run
+    assert np.asarray(s.n_li).mean() > 5  # updates still flow
+
+
+@pytest.mark.slow
+def test_slam_cv_fallback_coasts_through_vo_denial():
+    """motion_model='odo_cv_fallback' (VERDICT r3 #5): frames whose
+    features are blanked deny VO; the fallback coasts on the carried
+    v/ω (refreshed from VO per fv.m:47-52) instead of freezing at
+    identity. Measured in ONLY_PREDICT mode (pure dead reckoning, the
+    motion model IS the estimator) on a constant-velocity trajectory —
+    the regime the Civera model is exact for: the identity fallback
+    leaves a permanent ~4×6 cm hole, the coast carries straight through
+    it. A full-filter run checks boundedness with updates on."""
+    from pre3_tpu.data.synthetic import (
+        Trajectory, make_scene, render_frame,
+    )
+
+    n = 12
+    # constant-velocity dolly: 6 cm/frame in +x, identity rotation
+    t_gt = np.stack([np.array([0.06 * i, 0.0, 0.0]) for i in range(n)])
+    r_gt = np.stack([np.eye(3)] * n).astype(np.float32)
+    traj = Trajectory(t=t_gt.astype(np.float32), r=r_gt)
+    scene = make_scene(n_points=300, seed=0, x_range=(-1.5, 2.2))
+    frames = [
+        render_frame(scene, traj.t[i], traj.r[i], timestamp=0.1 * i,
+                     noise=0.004, seed=1000 + i)
+        for i in range(n)
+    ]
+    feats = _stack([
+        extract_features(
+            jnp.asarray(f.intensity), jnp.asarray(f.xyz),
+            jnp.asarray(f.confidence), threshold=0.05, max_features=128,
+        )
+        for f in frames
+    ])
+    # blank frames 5-7: no valid features → VO denied (steps 5-8: pairs
+    # 4→5 … 7→8 all touch a blanked frame), no matches either
+    blank = jnp.zeros(n, bool).at[jnp.array([5, 6, 7])].set(True)
+    feats = feats._replace(
+        valid=jnp.where(blank[:, None], False, feats.valid)
+    )
+    gt = _gt(traj)
+
+    base = SlamConfig(match_ratio=1.3, only_predict=True)
+    out_id = run_slam(CAM, feats, jax.random.PRNGKey(1), n_landmarks=32,
+                      cfg=base)
+    out_cv = run_slam(
+        CAM, feats, jax.random.PRNGKey(1), n_landmarks=32,
+        cfg=base._replace(motion_model="odo_cv_fallback",
+                          std_a=3.0, std_alpha=2.0),
+    )
+    s = out_cv.stats
+    assert not np.asarray(s.vo_ok)[jnp.array([4, 5, 6, 7])].any()
+    ate_cv = ate_rmse(np.asarray(out_cv.t), gt, align=False)
+    ate_id = ate_rmse(np.asarray(out_id.t), gt, align=False)
+    # dead reckoning: the coast must clearly beat the frozen-pose hole
+    assert ate_cv < 0.5 * ate_id, (ate_cv, ate_id)
+
+    # full filter (updates on): coasting stays bounded
+    out_full = run_slam(
+        CAM, feats, jax.random.PRNGKey(1), n_landmarks=32,
+        cfg=SlamConfig(match_ratio=1.3, motion_model="odo_cv_fallback",
+                       std_a=3.0, std_alpha=2.0),
+    )
+    ate_full = ate_rmse(np.asarray(out_full.t), gt, align=False)
+    assert ate_full < 0.08, f"full-filter coast ATE {ate_full:.3f} m"
