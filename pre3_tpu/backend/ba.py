@@ -242,11 +242,11 @@ def schur_solve(hcc, hpp, wcp, bc, bp, fixed_first: bool = True,
     return dc, dp
 
 
-def _cost(cam, kf_t, kf_q, points, obs_uv, mask, obs_xyz, w_xyz_fl,
-          huber_delta=3.0, odo=None):
-    """Masked mean factor cost. odo = (odo_t, odo_q, w_t, w_r) adds the
-    keyframe odometry-chain residuals (quadratic, not Huberized — the
-    filter's own motion estimate has no gross outliers)."""
+def _cost_sums(cam, kf_t, kf_q, points, obs_uv, mask, obs_xyz, w_xyz_fl,
+               huber_delta=3.0):
+    """(Σ huber-cost, factor count) over the landmark factors only —
+    separable along the landmark axis, so the distributed backend can
+    evaluate it per shard and psum the two scalars."""
     zero6 = jnp.zeros(6)
     w_px_fl = mask.astype(obs_uv.dtype)
     r = jax.vmap(
@@ -264,17 +264,32 @@ def _cost(cam, kf_t, kf_q, points, obs_uv, mask, obs_xyz, w_xyz_fl,
         huber_delta * (2.0 * rn - huber_delta),
     )
     n = jnp.sum(mask) + jnp.sum(w_xyz_fl > 0)
-    total = jnp.sum(rho)
+    return jnp.sum(rho), n
+
+
+def _odo_cost_sums(kf_t, kf_q, odo):
+    """(Σ odo-chain cost, factor count) — replicated camera-chain part."""
+    odo_t, odo_q, w_t, w_r, odo_w = odo
+    zero6 = jnp.zeros(6)
+    ro = jax.vmap(
+        lambda ti, qi, tj, qj, ot, oq, w: _odo_residual(
+            ti, qi, tj, qj, zero6, zero6, ot, oq, w_t * w, w_r * w
+        )
+    )(kf_t[:-1], kf_q[:-1], kf_t[1:], kf_q[1:], odo_t, odo_q, odo_w)
+    return jnp.sum(ro * ro), jnp.sum(odo_w > 0)
+
+
+def _cost(cam, kf_t, kf_q, points, obs_uv, mask, obs_xyz, w_xyz_fl,
+          huber_delta=3.0, odo=None):
+    """Masked mean factor cost. odo = (odo_t, odo_q, w_t, w_r, odo_w)
+    adds the keyframe odometry-chain residuals (quadratic, not Huberized
+    — the filter's own motion estimate has no gross outliers)."""
+    total, n = _cost_sums(cam, kf_t, kf_q, points, obs_uv, mask, obs_xyz,
+                          w_xyz_fl, huber_delta)
     if odo is not None:
-        odo_t, odo_q, w_t, w_r, odo_w = odo
-        zero6 = jnp.zeros(6)
-        ro = jax.vmap(
-            lambda ti, qi, tj, qj, ot, oq, w: _odo_residual(
-                ti, qi, tj, qj, zero6, zero6, ot, oq, w_t * w, w_r * w
-            )
-        )(kf_t[:-1], kf_q[:-1], kf_t[1:], kf_q[1:], odo_t, odo_q, odo_w)
-        total = total + jnp.sum(ro * ro)
-        n = n + jnp.sum(odo_w > 0)
+        ot, on = _odo_cost_sums(kf_t, kf_q, odo)
+        total = total + ot
+        n = n + on
     return total / jnp.maximum(n, 1)
 
 

@@ -40,7 +40,7 @@ from pre3_tpu.ekf.state import EkfState, init_state
 from pre3_tpu.ekf.update import kalman_update
 from pre3_tpu.frontend.pipeline import Features
 from pre3_tpu.geometry.camera import Camera
-from pre3_tpu.geometry.quaternion import qrotate, r2q, v2q
+from pre3_tpu.geometry.quaternion import qrotate, v2q
 from pre3_tpu.vo.dead_reckoning import vo_pair
 
 

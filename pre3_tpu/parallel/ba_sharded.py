@@ -23,7 +23,8 @@ import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from pre3_tpu.backend.ba import (
-    BaProblem, BaResult, _build_normal_eqs, _cost, _odo_terms,
+    BaProblem, BaResult, _build_normal_eqs, _cost_sums, _odo_cost_sums,
+    _odo_terms,
 )
 from pre3_tpu.parallel.distributed import globalize_replicated
 from pre3_tpu.geometry.camera import Camera
@@ -222,6 +223,26 @@ def _make_run(mesh, cam, iters, damping, odo_weight_t, odo_weight_r,
         out_specs=(rep, pt_spec),
     )
 
+    def cost_local(kf_t, kf_q, points_l, obs_uv_l, mask_l, obs_xyz_l,
+                   w_xyz_l, lc_l):
+        """Landmark-factor cost sums on the local shard, psum'd — the
+        cost evaluation is separable along L, so evaluating it replicated
+        would waste (n_dev−1)/n_dev of the FLOPs per LM accept/reject
+        (measured 65% → the dominant 2-rank inefficiency)."""
+        tot, n = _cost_sums(
+            cam, kf_t, kf_q, points_l, obs_uv_l, mask_l, obs_xyz_l,
+            w_xyz_l, huber_delta=jnp.where(lc_l[None, :], 1e6, 3.0),
+        )
+        return jax.lax.psum(tot, axis), jax.lax.psum(n, axis)
+
+    sharded_cost = jax.shard_map(
+        cost_local,
+        mesh=mesh,
+        in_specs=(rep, rep, pt_spec, lm_spec, lm_spec, lm_spec, lm_spec,
+                  pt_spec),
+        out_specs=(rep, rep),
+    )
+
     # All tensors enter `run` as explicit (replicated global) arguments —
     # device-array closures would become process-local hoisted constants,
     # which cannot feed a computation spanning a multi-process mesh. The
@@ -234,12 +255,18 @@ def _make_run(mesh, cam, iters, damping, odo_weight_t, odo_weight_r,
             (odo_t, odo_q, odo_weight_t, odo_weight_r, odo_wv)
             if has_odo else None
         )
-        hub = jnp.where(lc[None, :], 1e6, 3.0)
+
+        def cost(kf_t, kf_q, points):
+            tot, n = sharded_cost(kf_t, kf_q, points, obs_uv, mask,
+                                  obs_xyz, w_xyz_fl, lc)
+            if odo is not None:
+                ot, on = _odo_cost_sums(kf_t, kf_q, odo)
+                tot, n = tot + ot, n + on
+            return tot / jnp.maximum(n, 1)
 
         def gn_step(carry, _):
             kf_t, kf_q, points, lam = carry
-            c0 = _cost(cam, kf_t, kf_q, points, obs_uv, mask,
-                       obs_xyz, w_xyz_fl, huber_delta=hub, odo=odo)
+            c0 = cost(kf_t, kf_q, points)
             dc, dp = sharded(
                 kf_t, kf_q, points, obs_uv, mask, obs_xyz, w_xyz_fl, lam,
                 odo_t, odo_q, odo_wv, lc,
@@ -247,8 +274,7 @@ def _make_run(mesh, cam, iters, damping, odo_weight_t, odo_weight_r,
             t2 = kf_t + dc[:, :3]
             q2 = qnormalize(qprod(kf_q, v2q(dc[:, 3:])))
             p2 = points + dp
-            c1 = _cost(cam, t2, q2, p2, obs_uv, mask, obs_xyz, w_xyz_fl,
-                       huber_delta=hub, odo=odo)
+            c1 = cost(t2, q2, p2)
             better = c1 < c0
             # LM damping schedule — identical to backend.ba.bundle_adjust
             lam = jnp.where(
@@ -263,8 +289,7 @@ def _make_run(mesh, cam, iters, damping, odo_weight_t, odo_weight_r,
                 lam,
             ), jnp.where(better, c1, c0)
 
-        cost0 = _cost(cam, kf_t, kf_q, points, obs_uv, mask, obs_xyz,
-                      w_xyz_fl, huber_delta=hub, odo=odo)
+        cost0 = cost(kf_t, kf_q, points)
         lam0 = jnp.asarray(damping, kf_t.dtype)
         (t, q, p, _lam), costs = jax.lax.scan(
             gn_step, (kf_t, kf_q, points, lam0), None, length=iters

@@ -56,8 +56,13 @@ class EkfConfig:
     max_adds: int = 8
     min_measured: int = 25
     est_method: str = "1pre"  # "1pre" | "pure_ekf" (ekf_update_all path)
-    motion_input: bool = True  # VO odometry drives prediction
+    motion_input: bool = True  # VO odometry drives prediction; False =
+    # the Civera constant-velocity estimator (SlamConfig.motion_model="cv")
     only_predict: bool = False
+    initial_orientation: bool = False  # INITIAL_ORIENTATION_COMPENSATION:
+    # plane-fit gravity prior at bootstrap (SlamConfig.initial_orientation)
+    heading_update_every: int = 0  # periodic floor-fit attitude update
+    # (the reference's commented mono_slam.m:189-193 path)
 
 
 @dataclass(frozen=True)
