@@ -89,10 +89,18 @@ def _deactivate(state: EkfState, drop: jnp.ndarray) -> EkfState:
 
 
 def convert_to_cartesian(
-    state: EkfState, threshold: float = 0.1
+    state: EkfState, threshold: float = 0.1, max_conversions: int = 16
 ) -> EkfState:
     """Reparameterize well-localized inverse-depth landmarks
-    (inversedepth_2_cartesian.m:56: convert when 4·σd·cosα/d < 0.1)."""
+    (inversedepth_2_cartesian.m:56: convert when 4·σd·cosα/d < 0.1).
+
+    At most max_conversions slots convert per step: conversions are rare
+    (typically 0-3/frame), and bounding them lets the P transform gather
+    and rewrite ONLY the selected slots' [6, D] strips instead of
+    rebuilding the full [D, D] matrix (two concatenates + a symmetrize =
+    ~4 full-matrix HBM passes per step at K=512). A slot past the bound
+    still satisfies the linearity test next frame and converts then —
+    the reparameterization is order-insensitive."""
     k = state.n_landmarks
     lms = state.landmarks
     rho_idx = CAM_DIM + jnp.arange(k) * LM_DIM + 5
@@ -104,37 +112,40 @@ def convert_to_cartesian(
         lms[:, 5] > 1e-6
     )
 
-    # Per-slot 6×6 reparameterization blocks: top 3 rows = ∂p/∂y, rest 0.
-    j3 = jax.vmap(conversion_jacobian)(lms)  # [K, 3, 6]
-    j6 = jnp.concatenate([j3, jnp.zeros((k, 3, LM_DIM))], axis=1)  # [K,6,6]
-    eye6 = jnp.broadcast_to(jnp.eye(LM_DIM), (k, LM_DIM, LM_DIM))
-    blocks = jnp.where(conv[:, None, None], j6, eye6)
+    m = min(max_conversions, k)
+    _, sel = jax.lax.top_k(conv.astype(jnp.int32), m)  # converting first
+    sel_conv = conv[sel]  # [M]
+    # slots selected AND converting this step (surplus waits a frame)
+    did = jnp.zeros((k,), bool).at[sel].set(sel_conv)
 
-    # J = blockdiag(I₁₃, B₁..B_K) applied as per-slot strip products —
-    # O(K·36·D) instead of materializing J and paying two [D,D]@[D,D]
-    # matmuls (at K=256, D=1549 that is ~30 GFLOP/step and dominates the
-    # whole SLAM step; the strip form is ~500× cheaper).
+    # Per-slot 6×6 reparameterization blocks: top 3 rows = ∂p/∂y, rest 0.
+    lms_sel = lms[sel]
+    j3 = jax.vmap(conversion_jacobian)(lms_sel)  # [M, 3, 6]
+    j6 = jnp.concatenate([j3, jnp.zeros((m, 3, LM_DIM))], axis=1)
+    eye6 = jnp.broadcast_to(jnp.eye(LM_DIM), (m, LM_DIM, LM_DIM))
+    blocks = jnp.where(sel_conv[:, None, None], j6, eye6)  # [M, 6, 6]
+
+    # J = blockdiag(I, …, B_s, …) applied as gathered strip products on
+    # the M selected slots only: row strips then column strips gives
+    # exactly J P Jᵀ (still O(M·36·D), now with O(M·6·D) memory traffic).
     d = CAM_DIM + k * LM_DIM
-    plm = state.p[CAM_DIM:].reshape(k, LM_DIM, d)  # [K, 6, D]
-    plm = jnp.einsum("kab,kbD->kaD", blocks, plm)
-    p1 = jnp.concatenate(
-        [state.p[:CAM_DIM], plm.reshape(k * LM_DIM, d)], axis=0
-    )
-    pcols = p1[:, CAM_DIM:].reshape(d, k, LM_DIM)  # [D, K, 6]
-    pcols = jnp.einsum("kab,Dkb->Dka", blocks, pcols)
-    p = jnp.concatenate(
-        [p1[:, :CAM_DIM], pcols.reshape(d, k * LM_DIM)], axis=1
-    )
-    p = 0.5 * (p + p.T)
+    rows = (CAM_DIM + sel[:, None] * LM_DIM
+            + jnp.arange(LM_DIM)[None, :]).reshape(-1)  # [M·6]
+    prow = state.p[rows].reshape(m, LM_DIM, d)
+    prow = jnp.einsum("kab,kbD->kaD", blocks, prow)
+    p = state.p.at[rows].set(prow.reshape(m * LM_DIM, d))
+    pcol = p[:, rows].reshape(d, m, LM_DIM)
+    pcol = jnp.einsum("kab,Dkb->Dka", blocks, pcol)
+    p = p.at[:, rows].set(pcol.reshape(d, m * LM_DIM))
 
     pts = jax.vmap(inverse_depth_to_cartesian)(lms)  # [K, 3]
     new_lms = jnp.where(
-        conv[:, None],
+        did[:, None],
         jnp.concatenate([pts, jnp.zeros((k, 3))], axis=-1),
         lms,
     )
     x = state.x.at[CAM_DIM:].set(new_lms.reshape(-1))
-    return state._replace(x=x, p=p, is_id=state.is_id & ~conv)
+    return state._replace(x=x, p=p, is_id=state.is_id & ~did)
 
 
 # ---------------------------------------------------------------------------

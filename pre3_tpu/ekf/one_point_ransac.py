@@ -44,6 +44,7 @@ def one_point_ransac(
     batch: int = 256,
     std_z: float = 1.0,
     n_points: int = 3,
+    max_slots: int | None = None,
 ) -> jnp.ndarray:
     """Select low-innovation inliers among IC matches. Returns [K] bool.
 
@@ -54,59 +55,101 @@ def one_point_ransac(
 
     Support threshold = std_z (ransac_hypotheses.m:33: "RANSAC threshold
     should have a low value", set to the measurement std).
+
+    max_slots: bound the hypothesis-draw pool to the M IC slots gathered
+    first by top_k (ties keep index order) — the P·Hᵀ gain strips then
+    read [D, M, 6] of P instead of [D, K, 6] (the full-matrix read that
+    dominates at K=512). Support counting and the returned inlier mask
+    still cover ALL K slots, so the selected li set is unchanged
+    whenever ≤ M matches are individually compatible.
     """
     k = state.n_landmarks
     ic = obs.ic
     num_ic = jnp.sum(ic)
 
-    # Draw [B, S] hypothesis landmark indices without replacement within a
-    # hypothesis (randperm analog), ∝ IC mask across slots.
-    logits = jnp.where(ic, 0.0, -jnp.inf)
-    g = jax.random.gumbel(key, (batch, k))
+    p = state.p
+    pc = p[:, :CAM_DIM]  # [D, 13]
+    if max_slots is not None and max_slots < k:
+        m_pool = max_slots
+        _, pool = jax.lax.top_k(ic.astype(jnp.int32), m_pool)  # [M]
+        hc_pool = obs.hc[pool]
+        hl_pool = obs.hl[pool]
+        nu_pool = (obs.z - obs.h)[pool]
+        ic_pool = ic[pool]
+        pl_pool = p[:, CAM_DIM:].reshape(-1, k, LM_DIM)[:, pool, :]
+    else:
+        m_pool = k
+        pool = jnp.arange(k)
+        hc_pool, hl_pool = obs.hc, obs.hl
+        nu_pool = obs.z - obs.h
+        ic_pool = ic
+        pl_pool = p[:, CAM_DIM:].reshape(-1, k, LM_DIM)
+
+    # Draw [B, S] hypothesis indices INTO THE POOL without replacement
+    # within a hypothesis (randperm analog), ∝ IC mask across slots.
+    logits = jnp.where(ic_pool, 0.0, -jnp.inf)
+    g = jax.random.gumbel(key, (batch, m_pool))
     _, idx = jax.lax.top_k(logits[None] + g, n_points)  # [B, S]
     # 3-match hypotheses only when more than S IC matches exist, else
     # 1-match (select_random_match.m:47-51). Surplus draws are masked to
     # exact no-ops (zero H rows / zero innovation with unit R).
     n_use = jnp.where(num_ic > n_points, n_points, 1)
-    use = (jnp.arange(n_points)[None, :] < n_use) & ic[idx]  # [B, S]
+    use = (jnp.arange(n_points)[None, :] < n_use) & ic_pool[idx]  # [B, S]
 
-    p = state.p
-    pc = p[:, :CAM_DIM]  # [D, 13]
-    pl_all = p[:, CAM_DIM:].reshape(-1, k, LM_DIM)  # [D, K, 6]
     # Per-landmark gain column block P H_iᵀ = P[:, cam] Hc_iᵀ +
-    # P[:, lm_i] Hl_iᵀ, precomputed once for all K slots: [K, D, 2].
-    ph = jnp.einsum("dc,kec->kde", pc, obs.hc) + jnp.einsum(
-        "dkl,kel->kde", pl_all, obs.hl
+    # P[:, lm_i] Hl_iᵀ, precomputed once for the pool: [M, D, 2].
+    ph = jnp.einsum("dc,kec->kde", pc, hc_pool) + jnp.einsum(
+        "dkl,kel->kde", pl_pool, hl_pool
     )
-    nu_all = obs.z - obs.h  # [K, 2]
+    # zero non-IC rows: inactive slots carry NaN Jacobians, and the ΔX
+    # contraction below multiplies EVERY pool row by its (possibly zero)
+    # gain — 0·NaN would poison the whole batch
+    ph = jnp.where(ic_pool[:, None, None], ph, 0.0)
+    nu_all = nu_pool  # [M, 2]
     s_pts = n_points
+    ph_cam = ph[:, :CAM_DIM, :]  # [M, 13, 2]
 
-    def delta_for(idx_h, use_h):
-        """ΔX for one hypothesis from its S stacked matches."""
-        phs = jnp.where(use_h[:, None, None], ph[idx_h], 0.0)  # [S, D, 2]
-        hc = jnp.where(use_h[:, None, None], obs.hc[idx_h], 0.0)
-        hl = jnp.where(use_h[:, None, None], obs.hl[idx_h], 0.0)
+    def gains_for(idx_h, use_h):
+        """Per-hypothesis gain vector y = S⁻¹ν [2S] from its stacked
+        matches. Only the CAMERA rows and the drawn slots' landmark rows
+        of P·Hᵀ enter S — the [S, D, 2] strips are NOT gathered here
+        (the full-width ΔX is applied afterwards as one batched matmul,
+        which is where the FLOPs belong on the MXU)."""
+        hc = jnp.where(use_h[:, None, None], hc_pool[idx_h], 0.0)
+        hl = jnp.where(use_h[:, None, None], hl_pool[idx_h], 0.0)
         nu = jnp.where(use_h[:, None], nu_all[idx_h], 0.0)  # [S, 2]
+        phs_cam = jnp.where(
+            use_h[:, None, None], ph_cam[idx_h], 0.0
+        )  # [S, 13, 2]
         # S[2j:2j+2, 2m:2m+2] = H_j (P H_mᵀ) — H_j has nonzeros only in
         # the camera block and landmark-j block, so only those rows of
         # each column block are touched.
-        s_cam = jnp.einsum("jac,mcb->jamb", hc, phs[:, :CAM_DIM, :])
-        starts = CAM_DIM + idx_h * LM_DIM  # [S]
-        lm_rows = jax.vmap(
-            lambda s0: jax.lax.dynamic_slice(
-                phs, (0, s0, 0), (s_pts, LM_DIM, 2)
-            )
-        )(starts)  # [S(j), S(m), 6, 2]
+        s_cam = jnp.einsum("jac,mcb->jamb", hc, phs_cam)
+        rows = (
+            CAM_DIM + pool[idx_h][:, None] * LM_DIM
+            + jnp.arange(LM_DIM)[None, :]
+        )  # [S(j), 6] global row indices of slot j
+        # lm_rows[j, m, l, e] = ph[idx_h[m], rows[j, l], e] — a small
+        # fancy-index gather straight from the pool tensor
+        lm_rows = ph[idx_h[None, :, None], rows[:, None, :], :]
+        lm_rows = jnp.where(use_h[None, :, None, None], lm_rows, 0.0)
         s_lm = jnp.einsum("jal,jmlb->jamb", hl, lm_rows)
         s = (s_cam + s_lm).reshape(2 * s_pts, 2 * s_pts)
         s = s + (std_z**2) * jnp.eye(2 * s_pts)
         # S is PSD + σ²I → Cholesky solve (cheaper than LU at 6×6 batched)
         c, low = jax.scipy.linalg.cho_factor(s, lower=True)
-        y = jax.scipy.linalg.cho_solve((c, low), nu.reshape(-1))
-        ph_flat = jnp.transpose(phs, (1, 0, 2)).reshape(-1, 2 * s_pts)
-        return ph_flat @ y  # [D]
+        return jax.scipy.linalg.cho_solve((c, low), nu.reshape(-1))
 
-    dx = jax.vmap(delta_for)(idx, use)  # [B, D]
+    ys = jax.vmap(gains_for)(idx, use)  # [B, 2S]
+    # ΔX_b = Σ_s ph[idx[b,s]] · y_b[2s:2s+2] — scatter the gains into
+    # pool space and contract once: [B, M, 2] × [M, D, 2] → [B, D]. One
+    # MXU matmul replaces B gathered [D, 2S] @ [2S] products (the old
+    # [B, S, D, 2] gather was ~20 MB of HBM traffic per RANSAC call).
+    w = jnp.zeros((batch, m_pool, 2))
+    w = w.at[jnp.arange(batch)[:, None], idx, :].add(
+        jnp.where(use[..., None], ys.reshape(batch, s_pts, 2), 0.0)
+    )
+    dx = jnp.einsum("bme,mde->bd", w, ph)  # [B, D]
     x_hyp = state.x[None] + dx  # [B, D]
 
     # Support: reproject all landmarks under each hypothesis state

@@ -75,15 +75,22 @@ def _propagate(
     p = state.p
     pcc = p[:CAM_DIM, :CAM_DIM]
     pcl = p[:CAM_DIM, CAM_DIM:]
-    pll = p[CAM_DIM:, CAM_DIM:]
     pcc_n = f @ pcc @ f.T + q_block
     pcl_n = f @ pcl
     jn = _norm_jac(cam_new[3:7])
     jfull = jnp.eye(CAM_DIM).at[3:7, 3:7].set(jn)
     pcc_n = jfull @ pcc_n @ jfull.T
     pcl_n = jfull @ pcl_n
-    p_new = jnp.block([[pcc_n, pcl_n], [pcl_n.T, pll]])
-    p_new = 0.5 * (p_new + p_new.T)
+    # Strip writes instead of jnp.block + a full [D, D] symmetrize: the
+    # landmark block is untouched (and symmetric by induction — every
+    # update symmetrizes the full P), the cam/landmark strips are written
+    # symmetric by construction, and only the 13×13 block needs the
+    # explicit 0.5(A+Aᵀ). Saves ~3 full-matrix memory passes per step —
+    # the [D, D] block build was pure HBM traffic at K=512.
+    pcc_n = 0.5 * (pcc_n + pcc_n.T)
+    p_new = p.at[:CAM_DIM, :CAM_DIM].set(pcc_n)
+    p_new = p_new.at[:CAM_DIM, CAM_DIM:].set(pcl_n)
+    p_new = p_new.at[CAM_DIM:, :CAM_DIM].set(pcl_n.T)
     cam_new = cam_new.at[3:7].set(qnormalize(cam_new[3:7]))
     x_new = state.x.at[:CAM_DIM].set(cam_new)
     return state._replace(x=x_new, p=p_new)

@@ -117,6 +117,12 @@ class SlamConfig(NamedTuple):
     # (global siftmatch, then ellipse gate — matching_sift_based.m:
     # 118-130), which drops a landmark whose global best match is
     # out-of-gate even when the in-gate runner-up is right.
+    max_update_slots: int = 0  # bound each Kalman update to this many
+    # measurement slots (0 = full width, exact). The P downdate is
+    # O(D²·2K) over ALL K slots even though only the measured tens have
+    # nonzero rows; a bound of ~2-4× the typical inlier count makes the
+    # update O(D²·2M) — exact (up to Cholesky-order fp, ~1e-8) while
+    # ≤ M slots measure (see kalman_update). K ≥ 512 should set 128.
 
 
 class StepStats(NamedTuple):
@@ -254,6 +260,7 @@ def slam_step(
         )
 
     # 3./4. estimation method dispatch (EST_METHOD, config_file.m:17):
+    ms = cfg.max_update_slots if cfg.max_update_slots > 0 else None
     if cfg.only_predict:
         li = jnp.zeros_like(obs.ic)
         hi = jnp.zeros_like(obs.ic)
@@ -262,7 +269,8 @@ def slam_step(
         # ekf_update_all.m:27-62); no RANSAC gating
         li = obs.ic
         hi = jnp.zeros_like(obs.ic)
-        state = kalman_update(state, obs, li, std_z=cfg.std_z)
+        state = kalman_update(state, obs, li, std_z=cfg.std_z,
+                              max_slots=ms)
     elif cfg.est_method == "iekf":
         # Iterated EKF on all IC matches — the working realization of the
         # reference's dead ekf_update_iterated.m path (update.py docstring)
@@ -278,13 +286,15 @@ def slam_step(
         # the posterior
         li = one_point_ransac(
             kr, cam_model, state, obs, batch=cfg.ransac_batch,
-            std_z=cfg.std_z, n_points=cfg.ransac_points,
+            std_z=cfg.std_z, n_points=cfg.ransac_points, max_slots=ms,
         )
-        state = kalman_update(state, obs, li, std_z=cfg.std_z)
+        state = kalman_update(state, obs, li, std_z=cfg.std_z,
+                              max_slots=ms)
         hi, obs2 = rescue_hi_inliers(
             cam_model, state, obs, li, std_z=cfg.std_z
         )
-        state = kalman_update(state, obs2, hi, std_z=cfg.std_z)
+        state = kalman_update(state, obs2, hi, std_z=cfg.std_z,
+                              max_slots=ms)
 
     # 5. bookkeeping (update_features_info.m)
     measured = li | hi

@@ -39,6 +39,7 @@ def kalman_update(
     obs: Observations,
     use: jnp.ndarray,  # [K] bool — which measurements to apply
     std_z: float = 1.0,
+    max_slots: int | None = None,
 ) -> EkfState:
     """Batch KF update over the selected measurements (update.m:27-56).
 
@@ -48,30 +49,67 @@ def kalman_update(
     O(K·D²) dense [2K,D] matmuls. The posterior P = P − Y·Yᵀ with
     Y = P·Hᵀ·L⁻ᵀ (S = L·Lᵀ Cholesky) keeps the one unavoidable O(D²·2K)
     product and guarantees the downdate is symmetric PSD.
+
+    max_slots: bound the measurement stack to the M used slots (top_k on
+    the mask gathers every used slot first — ties keep index order). The
+    O(D²·2K) downdate becomes O(D²·2M): at K=512 only tens of slots
+    measure per frame, so M=128 cuts the dominant update FLOPs 4× and is
+    EXACT in real arithmetic whenever ≤ M measurements are in use (the
+    zero rows it drops are algebraic no-ops; fp results differ ~1e-8
+    because the Cholesky processes the compacted system in a different
+    row order). With > M in
+    use the weakest-indexed surplus is dropped — bound M by the expected
+    inlier count (n_li ≈ 20-40 at the bench operating point). None =
+    full-width exact path.
     """
     k = obs.h.shape[0]
     d = state.x.shape[0]
-    hc = jnp.where(use[:, None, None], obs.hc, 0.0)  # [K, 2, 13]
-    hl = jnp.where(use[:, None, None], obs.hl, 0.0)  # [K, 2, 6]
-    nu = jnp.where(use[:, None], obs.z - obs.h, 0.0).reshape(-1)  # [2K]
-    pc = state.p[:, :CAM_DIM]  # [D, 13]
-    pl = state.p[:, CAM_DIM:].reshape(d, k, LM_DIM)  # [D, K, 6]
-    ph = jnp.einsum("dc,kec->dke", pc, hc) + jnp.einsum(
-        "dkl,kel->dke", pl, hl
-    )  # [D, K, 2] = P Hᵀ in per-slot layout
-    ph2 = ph.reshape(d, 2 * k)
-    phc = ph2[:CAM_DIM]  # [13, 2K]
-    phl = ph2[CAM_DIM:].reshape(k, LM_DIM, 2 * k)  # [K, 6, 2K]
-    s = (
-        jnp.einsum("kec,cm->kem", hc, phc)
-        + jnp.einsum("kel,klm->kem", hl, phl)
-    ).reshape(2 * k, 2 * k)
-    s = 0.5 * (s + s.T) + (std_z**2) * jnp.eye(2 * k)
+    if max_slots is not None and max_slots < k:
+        m = max_slots
+        _, sel = jax.lax.top_k(use.astype(jnp.int32), m)  # used first
+        sel_use = use[sel]  # [M]
+        hc = jnp.where(sel_use[:, None, None], obs.hc[sel], 0.0)
+        hl = jnp.where(sel_use[:, None, None], obs.hl[sel], 0.0)
+        nu = jnp.where(
+            sel_use[:, None], (obs.z - obs.h)[sel], 0.0
+        ).reshape(-1)  # [2M]
+        pc = state.p[:, :CAM_DIM]  # [D, 13]
+        pl = state.p[:, CAM_DIM:].reshape(d, k, LM_DIM)[:, sel, :]
+        ph = jnp.einsum("dc,kec->dke", pc, hc) + jnp.einsum(
+            "dkl,kel->dke", pl, hl
+        )  # [D, M, 2]
+        ph2 = ph.reshape(d, 2 * m)
+        phc = ph2[:CAM_DIM]  # [13, 2M]
+        # landmark rows of P·Hᵀ for the SELECTED slots only
+        phl = ph2[CAM_DIM:].reshape(k, LM_DIM, 2 * m)[sel]  # [M, 6, 2M]
+        s = (
+            jnp.einsum("kec,cm->kem", hc, phc)
+            + jnp.einsum("kel,klm->kem", hl, phl)
+        ).reshape(2 * m, 2 * m)
+        n_rows = 2 * m
+    else:
+        hc = jnp.where(use[:, None, None], obs.hc, 0.0)  # [K, 2, 13]
+        hl = jnp.where(use[:, None, None], obs.hl, 0.0)  # [K, 2, 6]
+        nu = jnp.where(use[:, None], obs.z - obs.h, 0.0).reshape(-1)
+        pc = state.p[:, :CAM_DIM]  # [D, 13]
+        pl = state.p[:, CAM_DIM:].reshape(d, k, LM_DIM)  # [D, K, 6]
+        ph = jnp.einsum("dc,kec->dke", pc, hc) + jnp.einsum(
+            "dkl,kel->dke", pl, hl
+        )  # [D, K, 2] = P Hᵀ in per-slot layout
+        ph2 = ph.reshape(d, 2 * k)
+        phc = ph2[:CAM_DIM]  # [13, 2K]
+        phl = ph2[CAM_DIM:].reshape(k, LM_DIM, 2 * k)  # [K, 6, 2K]
+        s = (
+            jnp.einsum("kec,cm->kem", hc, phc)
+            + jnp.einsum("kel,klm->kem", hl, phl)
+        ).reshape(2 * k, 2 * k)
+        n_rows = 2 * k
+    s = 0.5 * (s + s.T) + (std_z**2) * jnp.eye(n_rows)
     # zeroed (unused) measurement rows leave σ² on the S diagonal and a
     # zero P·Hᵀ column → exact no-ops in the update, as before.
     c, low = jax.scipy.linalg.cho_factor(s, lower=True)
     x_new = state.x + ph2 @ jax.scipy.linalg.cho_solve((c, low), nu)
-    y = jax.scipy.linalg.solve_triangular(c, ph2.T, lower=True)  # [2K, D]
+    y = jax.scipy.linalg.solve_triangular(c, ph2.T, lower=True)  # [2M, D]
     p_new = state.p - y.T @ y
     p_new = 0.5 * (p_new + p_new.T)
     x_new, p_new = renormalize_quaternion(x_new, p_new)

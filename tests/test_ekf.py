@@ -336,3 +336,49 @@ class TestThreePointRansac:
         li_np = np.asarray(li)
         assert not np.any(li_np & ~ic_few)
         assert li_np.sum() >= 2  # clean scene: the kept matches agree
+
+
+class TestBoundedUpdate:
+    def test_max_slots_bit_identical_when_under_bound(self):
+        """kalman_update(max_slots=M) is exact in real arithmetic
+        whenever ≤ M slots are in use — fp differs only through the
+        Cholesky row order of the compacted system (~1e-8)."""
+        import jax
+        import jax.numpy as jnp
+        import numpy as np
+
+        from pre3_tpu.ekf.measurement import predict_measurements
+        from pre3_tpu.ekf.state import init_state
+        from pre3_tpu.ekf.update import kalman_update
+        from pre3_tpu.geometry.camera import sr4000_camera
+
+        cam = sr4000_camera()
+        rng = np.random.default_rng(0)
+        k = 24
+        state = init_state(n_landmarks=k)
+        # populate slots with inverse-depth landmarks + correlated P
+        lm = np.zeros((k, 6), np.float32)
+        lm[:, 0:3] = rng.normal(scale=0.02, size=(k, 3))
+        lm[:, 3] = rng.uniform(-0.3, 0.3, k)
+        lm[:, 4] = rng.uniform(-0.2, 0.2, k)
+        lm[:, 5] = rng.uniform(0.3, 0.8, k)
+        x = np.asarray(state.x).copy()
+        x[13:] = lm.reshape(-1)
+        a = rng.normal(scale=0.02, size=(x.size, x.size)).astype(np.float32)
+        p = a @ a.T + 1e-4 * np.eye(x.size, dtype=np.float32)
+        state = state._replace(
+            x=jnp.asarray(x), p=jnp.asarray(p),
+            active=jnp.ones(k, bool), is_id=jnp.ones(k, bool),
+        )
+        obs = predict_measurements(cam, state)
+        z = obs.h + jnp.asarray(rng.normal(scale=0.5, size=(k, 2)),
+                                jnp.float32)
+        obs = obs._replace(z=z)
+        use = jnp.zeros(k, bool).at[jnp.array([1, 4, 7, 9, 15])].set(True)
+
+        full = kalman_update(state, obs, use)
+        bounded = kalman_update(state, obs, use, max_slots=8)
+        np.testing.assert_allclose(np.asarray(full.x),
+                                   np.asarray(bounded.x), atol=1e-6)
+        np.testing.assert_allclose(np.asarray(full.p),
+                                   np.asarray(bounded.p), atol=1e-6)
