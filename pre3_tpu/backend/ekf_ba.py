@@ -149,13 +149,20 @@ def ba_problem_from_slam(
 
     # Loop-closure landmarks (VERDICT r3 #3): scan the FULL per-frame
     # record stream (not just keyframe rows) for re-acquisitions — a
-    # measured-frame gap ≥ lc_gap means the filter re-matched the
-    # landmark after a long invisibility through the uncertainty-widened
-    # gate (the implicit EKF loop closure; its match was vetted by the
-    # same χ² machinery as rescue_hi_inliers.m:27-47). Those landmarks'
-    # factors carry the only long-baseline information in the problem.
+    # measured-frame gap ≥ lc_gap during which the landmark was OUT OF
+    # VIEW means the filter re-matched it on a genuine revisit through
+    # the uncertainty-widened gate (the implicit EKF loop closure; the
+    # match was vetted by the same χ² machinery as
+    # rescue_hi_inliers.m:27-47). The visibility requirement is load-
+    # bearing: a landmark that stayed predicted-visible but unmatched
+    # for the gap is a tracking dropout with a possibly-drifted
+    # re-association, and un-Huberizing those was measured to DOUBLE
+    # corridor post-BA ATE (0.21 → 0.47). Genuine revisit factors carry
+    # the only long-baseline information in the problem.
     lc_lm = np.zeros(l, bool)
-    if lc_gap > 0:
+    rec_visible = getattr(traj.records, "visible", None)
+    if lc_gap > 0 and rec_visible is not None:
+        rec_visible = np.asarray(rec_visible)  # [F-1, K]
         for (slot, initf), li in ids.items():
             li2 = remap[li]
             if li2 < 0:
@@ -163,8 +170,14 @@ def ba_problem_from_slam(
             rows = np.nonzero(
                 measured[:, slot] & (init_frame[:, slot] == initf)
             )[0]
-            if len(rows) >= 2 and int(np.diff(rows).max()) >= lc_gap:
-                lc_lm[li2] = True
+            if len(rows) < 2:
+                continue
+            gaps = np.diff(rows)
+            for gi in np.nonzero(gaps >= lc_gap)[0]:
+                r0, r1 = rows[gi], rows[gi + 1]
+                if rec_visible[r0 + 1:r1, slot].mean() < 0.3:
+                    lc_lm[li2] = True
+                    break
 
     # Odometry-chain factors between consecutive keyframes: the filter's
     # own relative motion (t in frame i, q_i⁻¹⊗q_{i+1}). These carry the

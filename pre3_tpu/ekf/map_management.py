@@ -190,6 +190,7 @@ def add_features(
     std_pxl: float = 1.0,
     depth_sigma: float = 0.01,
     depth_range_quadratic: bool = False,
+    depth_range_d0: float = 2.0,
     image: jnp.ndarray | None = None,
     sampling: str = "topk",
     key: jax.Array | None = None,
@@ -251,12 +252,19 @@ def add_features(
         rho0 = 1.0 / jnp.maximum(jnp.linalg.norm(xyz), 1e-6)
         # depth-prior std (initialize_a_feature_sift_3.m:116-117):
         # σρ = σ_d·ρ² with σ_d = depth_sigma (constant 1 cm, reference
-        # parity). The SR4000's actual range noise grows ∝ range²
-        # (amplitude ∝ 1/d², cov_pose_shift_calc.m noise model), i.e.
-        # σ_d = depth_sigma·d² — under which σρ is CONSTANT:
-        # σρ = depth_sigma·d²·ρ² = depth_sigma.
+        # parity). The SR4000's actual range noise grows ∝ range² beyond
+        # a couple of meters (amplitude ∝ 1/d², cov_pose_shift_calc.m
+        # noise model); depth_range_quadratic switches to the hybrid
+        # σ_d = depth_sigma·max(1, (d/d0)²): the reference prior inside
+        # d0, honestly looser beyond — σρ = depth_sigma·max(ρ², 1/d0²).
+        # Measured (512-frame corridor, far features at 3.4–5.7 m):
+        # SLAM ATE 1.69 → 0.78 with the quadratic tail; the d0 knee
+        # protects the short-sequence regime where the tight reference
+        # prior is what anchors scale.
+        d0 = depth_range_d0
         sig_rho = (
-            depth_sigma if depth_range_quadratic
+            depth_sigma * jnp.maximum(rho0 * rho0, 1.0 / (d0 * d0))
+            if depth_range_quadratic
             else depth_sigma * rho0 * rho0
         )
 

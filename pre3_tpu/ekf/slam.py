@@ -108,10 +108,18 @@ class SlamConfig(NamedTuple):
     dt: float = 0.1  # sensor period (predict_state_and_covariance.m:35)
     std_a: float = 0.1  # linear acceleration noise (mono_slam.m:76)
     std_alpha: float = 0.1  # angular acceleration noise (mono_slam.m:77)
-    depth_range_quadratic: bool = False  # SR4000 range noise ∝ range² in
-    # the landmark depth prior (σ_d = depth_sigma·d² → σρ constant)
-    # instead of the reference's constant 1 cm — far landmarks carry an
-    # honestly looser depth prior. See map_management.add_features.
+    depth_range_quadratic: bool = True  # SR4000 range noise ∝ range²
+    # beyond the d0 knee in the landmark depth prior: σ_d = depth_sigma·
+    # max(1, (d/d0)²) — the reference's constant 1 cm inside d0, honestly
+    # looser beyond. THE round-4 accuracy lever, measured on corridors
+    # (d0=1.5): 256-frame ATE 0.209 → 0.118, 512-frame 1.69 → 0.515 —
+    # far landmarks' depth records carry range-proportional error the
+    # constant prior over-trusts, and the over-pinned ρ then biases the
+    # camera chain. Set False for reference parity
+    # (initialize_a_feature_sift_3.m:116 uses the constant 1 cm).
+    depth_range_d0: float = 1.5  # knee of the hybrid prior, meters
+    # (d0=2.0 measured: 0.165 / 0.97 — the lower knee wins at both
+    # lengths on SR4000-scale scenes)
     match_gate_first: bool = False  # restrict map matching to in-gate
     # candidates BEFORE the ratio test. False = the reference's order
     # (global siftmatch, then ellipse gate — matching_sift_based.m:
@@ -146,6 +154,10 @@ class StepRecord(NamedTuple):
     z_xyz: jnp.ndarray  # [K, 3]
     measured: jnp.ndarray  # [K] bool — li | hi inlier this step
     init_frame: jnp.ndarray  # [K] int32
+    visible: jnp.ndarray  # [K] bool — predicted in image this step
+    # (distinguishes a genuine revisit re-acquisition — invisible during
+    # the measured-gap — from a visible-but-unmatched tracking dropout
+    # when the BA bridge mines loop-closure factors, ekf_ba.py)
 
 
 def slam_step(
@@ -319,7 +331,8 @@ def slam_step(
         n_measured=jnp.sum(measured),
         max_adds=cfg.max_adds, min_measured=cfg.min_measured,
         std_pxl=cfg.std_z,
-        depth_range_quadratic=cfg.depth_range_quadratic, image=image,
+        depth_range_quadratic=cfg.depth_range_quadratic,
+        depth_range_d0=cfg.depth_range_d0, image=image,
         sampling=cfg.init_sampling, key=ka,
     )
 
@@ -359,7 +372,7 @@ def slam_step(
     )
     record = StepRecord(
         z=obs.z, z_xyz=obs.z_xyz, measured=measured,
-        init_frame=state.init_frame,
+        init_frame=state.init_frame, visible=obs.visible,
     )
     return state, (stats, record)
 
@@ -403,7 +416,8 @@ def bootstrap_state(
         n_measured=jnp.asarray(0, jnp.int32),
         max_adds=cfg.max_adds * 4, min_measured=cfg.min_measured,
         std_pxl=cfg.std_z,
-        depth_range_quadratic=cfg.depth_range_quadratic, image=image,
+        depth_range_quadratic=cfg.depth_range_quadratic,
+        depth_range_d0=cfg.depth_range_d0, image=image,
         sampling=cfg.init_sampling, key=key,
     )
 

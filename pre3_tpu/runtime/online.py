@@ -147,6 +147,7 @@ class OnlineSlam:
                 min_measured=cfg.min_measured,
                 std_pxl=cfg.std_z,
                 depth_range_quadratic=cfg.depth_range_quadratic,
+                depth_range_d0=cfg.depth_range_d0,
                 image=img if needs_image else None,
                 sampling=cfg.init_sampling, key=sub,
             )

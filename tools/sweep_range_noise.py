@@ -93,25 +93,78 @@ def slam_and_ba(feats, gt, cfg, n_frames, depth_range_ref=0.0, lc_gap=15,
 
 
 def main():
+    stage = sys.argv[1] if len(sys.argv) > 1 else "256"
     base = SlamConfig(min_measured=50)
     quad = base._replace(depth_range_quadratic=True)
 
-    for n in (256, 512):
+    if stage == "256a":
+        feats, gt = make_seq(256)
+        slam_and_ba(feats, gt, base, 256, 0.0, 0, "lc-off")
+        slam_and_ba(feats, gt, base, 256, 0.0, 15, "lc-15")
+    elif stage == "256b":
+        feats, gt = make_seq(256)
+        slam_and_ba(feats, gt, base, 256, 1.0, 15, "ba-ref1")
+        slam_and_ba(feats, gt, base, 256, 2.0, 15, "ba-ref2")
+    elif stage == "512a":
+        feats, gt = make_seq(512)
+        slam_and_ba(feats, gt, base, 512, 0.0, 15, "baseline")
+        slam_and_ba(feats, gt, quad, 512, 0.0, 15, "ekf-quad")
+    elif stage == "512b":
+        feats, gt = make_seq(512)
+        slam_and_ba(feats, gt, base, 512, 1.0, 15, "ba-ref1")
+        slam_and_ba(feats, gt, base, 512, 2.0, 15, "ba-ref2")
+    elif stage == "h256":
+        feats, gt = make_seq(256)
+        slam_and_ba(feats, gt, quad, 256, 0.0, 15, "hybrid-quad-256")
+    elif stage == "h512":
+        feats, gt = make_seq(512)
+        slam_and_ba(feats, gt, quad, 512, 0.0, 15, "hybrid-quad-512")
+    elif stage == "d0_256":
+        feats, gt = make_seq(256)
+        q15 = quad._replace(depth_range_d0=1.5)
+        slam_and_ba(feats, gt, q15, 256, 0.0, 15, "quad-d0-1.5-256")
+    elif stage == "d0_512":
+        feats, gt = make_seq(512)
+        q15 = quad._replace(depth_range_d0=1.5)
+        slam_and_ba(feats, gt, q15, 512, 0.0, 15, "quad-d0-1.5-512")
+    elif stage == "d0ba":
+        # one SLAM run (quad d0=1.5), several BA weightings on top
+        n = int(sys.argv[2]) if len(sys.argv) > 2 else 256
         feats, gt = make_seq(n)
-        slam_and_ba(feats, gt, base, n, 0.0, 15, "baseline")
-        slam_and_ba(feats, gt, quad, n, 0.0, 15, "ekf-quad")
-        for ref in (1.0, 2.0, 3.0):
-            slam_and_ba(feats, gt, quad, n, ref, 15, f"quad+ba-ref{ref}")
-        # BA range weighting alone (EKF prior unchanged)
-        slam_and_ba(feats, gt, base, n, 2.0, 15, "ba-ref2-only")
-
-    # loop scenario: lc factors on/off
-    feats, gt = make_seq(256, loop=True)
-    slam_and_ba(feats, gt, base, 256, 0.0, 0, "loop-lc-off")
-    slam_and_ba(feats, gt, base, 256, 0.0, 15, "loop-lc-15")
-    slam_and_ba(feats, gt, base, 256, 0.0, 30, "loop-lc-30")
-    mem = base._replace(max_invisible=10_000)
-    slam_and_ba(feats, gt, mem, 256, 0.0, 15, "loop-memorymap-lc15")
+        q15 = quad._replace(depth_range_d0=1.5)
+        run = jax.jit(lambda f, key: run_slam(CAM, f, key, cfg=q15,
+                                              n_landmarks=256))
+        out = run(feats, jax.random.PRNGKey(0))
+        _ = float(out.t[-1, 0])
+        ate = float(ate_rmse(np.asarray(out.t), gt, align=False))
+        ks = select_keyframes(out.t, out.q, jnp.ones(n, bool),
+                              max_keyframes=64)
+        prob = ba_problem_from_slam(
+            out, np.asarray(ks.indices), np.asarray(ks.valid),
+            max_landmarks=512, lc_gap=15,
+        )
+        for ref in (0.0, 1.5):
+            for dw in (50.0, 10.0):
+                res = bundle_adjust(CAM, prob, iters=10,
+                                    depth_weight=dw, depth_range_ref=ref)
+                sm_t, _ = apply_ba_corrections(
+                    out.t, out.q, ks.indices, ks.valid, res.kf_t,
+                    res.kf_q,
+                )
+                print(json.dumps({
+                    "label": f"d0ba-n{n}-ref{ref}-dw{dw}",
+                    "ate": round(ate, 4),
+                    "ba_ate": round(float(ate_rmse(
+                        np.asarray(sm_t), gt, align=False)), 4),
+                }), flush=True)
+    elif stage == "loopa":
+        feats, gt = make_seq(256, loop=True)
+        slam_and_ba(feats, gt, base, 256, 0.0, 0, "loop-lc-off")
+        slam_and_ba(feats, gt, base, 256, 0.0, 15, "loop-lc-15")
+    elif stage == "loopb":
+        feats, gt = make_seq(256, loop=True)
+        mem = base._replace(max_invisible=10_000, max_update_slots=96)
+        slam_and_ba(feats, gt, mem, 256, 0.0, 15, "loop-memorymap-lc15")
 
 
 if __name__ == "__main__":
