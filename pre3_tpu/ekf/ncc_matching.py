@@ -9,10 +9,12 @@ candidate with NCC ≥ 0.60 (matching.m:31).
 
 The reference walks the ellipse pixels in a data-dependent double loop
 and calls a partitioned-corrcoef MEX kernel; here each feature gets a
-fixed G×G candidate grid scaled to its own 3σ search box, every candidate
-patch is a bilinear gather, and all K·G² correlations happen as one
-batched dot product (zero-mean unit-norm patches make NCC an inner
-product — see frontend/patches.py). Static shapes, no native kernel.
+fixed G×G candidate grid scaled to its own 3σ search box, all K·G²·P²
+candidate-patch pixels are produced by two separable one-hot-blend
+interpolation matmuls (the grid is an outer product per feature — MXU
+work, no gathers), and all K·G² correlations happen as one batched dot
+product (zero-mean unit-norm patches make NCC an inner product — see
+frontend/patches.py). Static shapes, no native kernel.
 
 Unlike the descriptor path (measurement.py search_ic_matches), the stored
 appearance is never refreshed: the reference's NCC path always warps the
@@ -91,13 +93,51 @@ def search_ic_matches_ncc(
     )
     cand_ok = (mahal <= CHI2_2DOF_95) & inb  # [K, G²]
 
-    # Candidate patches: one batched bilinear gather, then normalize.
+    # Candidate patches via SEPARABLE bilinear interpolation: for one
+    # feature, every candidate-patch pixel sits on the outer product of
+    # G·P distinct u-coords × G·P distinct v-coords (candidate centers
+    # on a regular per-feature grid + integer patch offsets), so the
+    # whole [G², P²] patch stack is two interpolation matmuls
+    # W_v · img · W_uᵀ with 2-nonzero one-hot-blend rows — MXU work in
+    # place of the 4·K·G²·P² ≈ 42M scalar gathers per frame that made
+    # the gather formulation the config-#2 bottleneck (bench r4 first
+    # cut: 4.7 fps; the gathers dominated the whole scan step).
     half = (patch - 1) / 2.0
     offs = jnp.arange(patch) - half
-    pu, pv = jnp.meshgrid(offs, offs, indexing="xy")
-    pgrid = jnp.stack([pu, pv], axis=-1).reshape(-1, 2)  # [P², 2]
-    pts = centers[:, :, None, :] + pgrid[None, None]  # [K, G², P², 2]
-    vals = bilinear_sample(image, pts)  # [K, G², P²]
+    gp = grid * patch
+    # u_coords[k, cu·P + pu], v_coords[k, cv·P + pv]
+    u_axis = (lin[:, None, None] * r_u[None, None, :]
+              + offs[None, :, None]).reshape(gp, k)  # [G·P, K] (cu, pu)
+    v_axis = (lin[:, None, None] * r_v[None, None, :]
+              + offs[None, :, None]).reshape(gp, k)
+    u_coords = obs.h[:, 0][None, :] + u_axis  # [G·P, K]
+    v_coords = obs.h[:, 1][None, :] + v_axis
+    u_coords = jnp.clip(u_coords.T, 0.0, w_img - 1.001)  # [K, G·P]
+    v_coords = jnp.clip(v_coords.T, 0.0, h_img - 1.001)
+
+    def blend(coords, n):
+        c0 = jnp.floor(coords).astype(jnp.int32)
+        dc = coords - c0
+        return (
+            jax.nn.one_hot(c0, n, dtype=image.dtype) * (1.0 - dc)[..., None]
+            + jax.nn.one_hot(c0 + 1, n, dtype=image.dtype) * dc[..., None]
+        )  # [K, G·P, n]
+
+    wu = blend(u_coords, w_img)  # [K, G·P, W]
+    wv = blend(v_coords, h_img)  # [K, G·P, H]
+    # throughput matmuls: patch intensities tolerate default precision
+    rows = jnp.einsum(
+        "kvh,hw->kvw", wv, image,
+        precision=jax.lax.Precision.DEFAULT,
+    )  # [K, G·P, W]
+    g2 = jnp.einsum(
+        "kvw,kuw->kvu", rows, wu,
+        precision=jax.lax.Precision.DEFAULT,
+    )  # [K, G·P(v), G·P(u)]
+    g5 = g2.reshape(k, grid, patch, grid, patch)  # [k, cv, pv, cu, pu]
+    vals = jnp.transpose(g5, (0, 1, 3, 2, 4)).reshape(
+        k, grid * grid, patch * patch
+    )  # [K, G², P²] — candidate c = cv·G + cu, pixel p = pv·P + pu
     vals = vals - jnp.mean(vals, axis=-1, keepdims=True)
     vals = vals / jnp.maximum(
         jnp.linalg.norm(vals, axis=-1, keepdims=True), 1e-8

@@ -34,6 +34,10 @@ from pre3_tpu.geometry.camera import sr4000_camera  # noqa: E402
 from pre3_tpu.runtime.online import OnlineSlam  # noqa: E402
 
 
+def emit(k, v):
+    print(json.dumps({k: round(v, 2)}), flush=True)
+
+
 def med_roundtrip(fn, args, reps=20):
     out = fn(*args)
     jax.block_until_ready(out)
@@ -53,11 +57,13 @@ def main():
 
     x8 = jnp.zeros(8)
     res["tiny_ms"] = med_roundtrip(jax.jit(lambda x: x + 1.0), (x8,))
+    emit("tiny_ms", res["tiny_ms"])
 
     a = jnp.ones((1024, 1024))
     res["mid_matmul_ms"] = med_roundtrip(
         jax.jit(lambda a: a @ a), (a,)
     )
+    emit("mid_matmul_ms", res["mid_matmul_ms"])
 
     frames, _, _ = render_sequence(n_frames=4, n_points=300, noise=0.004)
     i0 = jnp.asarray(frames[0].intensity)
@@ -68,6 +74,7 @@ def main():
 
     fe = jax.jit(extract_features_sift)
     res["frontend_ms"] = med_roundtrip(fe, (i0, x0, c0))
+    emit("frontend_ms", res["frontend_ms"])
 
     # full fused step (the production chunk=1 program)
     slam = OnlineSlam(cam, cfg=SlamConfig(min_measured=50),
@@ -88,6 +95,7 @@ def main():
         np.asarray(r.t)
         ts.append(time.time() - t0)
     res["slam_step_ms"] = 1e3 * float(np.median(ts))
+    emit("slam_step_ms", res["slam_step_ms"])
 
     # lean variant: same computation, stats/record outputs dropped
     def lean(state, key, step_i, prev, intensity, xyz, conf):
@@ -107,6 +115,7 @@ def main():
         np.asarray(out[4])
         ts.append(time.time() - t0)
     res["slam_step_lean_ms"] = 1e3 * float(np.median(ts))
+    emit("slam_step_lean_ms", res["slam_step_lean_ms"])
 
     res = {k: round(v, 2) for k, v in res.items()}
     res["conclusion_floor_ms"] = res["tiny_ms"]
