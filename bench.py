@@ -49,7 +49,10 @@ from pre3_tpu.vo.dead_reckoning import run_sequence
 BASELINE_FPS = 7.96  # measured reference-port fps on this host, see above
 N_FRAMES = 256
 N_LANDMARKS = 256  # headline map capacity (reference operating point)
-CFG = SlamConfig(min_measured=50)  # mono_slam.m:91
+CFG = SlamConfig(min_measured=50, max_update_slots=96)  # mono_slam.m:91;
+# the bounded update is exact while ≤ 96 slots measure (n_li ≈ 40-50 at
+# this operating point) and cuts the O(D²·2K) downdate 2.7× (BASELINE.md
+# r4 map-capacity table)
 BF16_PEAK_TFLOPS = 197.0  # v5e chip peak (pipeline is f32 → conservative)
 
 
