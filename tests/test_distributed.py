@@ -119,3 +119,108 @@ class TestDistributedBa:
         mesh = make_mesh(2, axis="lm")
         dist = bundle_adjust_sharded(mesh, CAM, prob, iters=8)
         assert float(dist.cost[-1]) < 1e-3
+
+
+class TestPoseShardedBa:
+    """Keyframe-block pose partition with separator-pose halo exchange
+    (SURVEY §2.4 halo row): agreement with the single-device backend on
+    a window-local corridor problem, and zero dropped observations."""
+
+    def _corridor_problem(self, n_kf=16, lm_per_kf=6, span=2, seed=0):
+        from pre3_tpu.geometry.camera import project
+
+        rng = np.random.default_rng(seed)
+        kf_t = np.zeros((n_kf, 3), np.float32)
+        kf_t[:, 0] = 0.12 * np.arange(n_kf)
+        kf_q = np.tile(np.array([1.0, 0, 0, 0], np.float32), (n_kf, 1))
+        pts, obs, oxyz, msk = [], [], [], []
+        for c in range(n_kf):
+            for _ in range(lm_per_kf):
+                p = np.array([
+                    kf_t[c, 0] + rng.uniform(-0.4, 0.4),
+                    rng.uniform(-0.8, 0.8),
+                    rng.uniform(2.0, 3.5),
+                ], np.float32)
+                pts.append(p)
+                row_uv = np.zeros((n_kf, 2), np.float32)
+                row_xyz = np.zeros((n_kf, 3), np.float32)
+                row_m = np.zeros(n_kf, bool)
+                for fkf in range(max(0, c - span),
+                                 min(n_kf, c + span + 1)):
+                    p_cam = p - kf_t[fkf]
+                    uv = np.asarray(
+                        project(CAM, jnp.asarray(p_cam))
+                    )
+                    if 2 < uv[0] < 173 and 2 < uv[1] < 141:
+                        row_uv[fkf] = uv
+                        row_xyz[fkf] = p_cam
+                        row_m[fkf] = True
+                obs.append(row_uv)
+                oxyz.append(row_xyz)
+                msk.append(row_m)
+        points = np.stack(pts)
+        obs_uv = np.stack(obs, axis=1)  # [F, L, 2]
+        obs_xyz = np.stack(oxyz, axis=1)
+        mask = np.stack(msk, axis=1)
+        keep = mask.sum(0) >= 2
+        points, obs_uv = points[keep], obs_uv[:, keep]
+        obs_xyz, mask = obs_xyz[:, keep], mask[:, keep]
+        kf_t_init = kf_t + rng.normal(
+            scale=0.02, size=kf_t.shape
+        ).astype(np.float32)
+        kf_t_init[0] = kf_t[0]
+        p_init = points + rng.normal(
+            scale=0.02, size=points.shape
+        ).astype(np.float32)
+        odo_t = (kf_t[1:] - kf_t[:-1]).astype(np.float32)
+        odo_q = np.tile(np.array([1.0, 0, 0, 0], np.float32),
+                        (n_kf - 1, 1))
+        from pre3_tpu.backend.ba import BaProblem
+
+        return BaProblem(
+            obs_uv=jnp.asarray(obs_uv), mask=jnp.asarray(mask),
+            kf_t=jnp.asarray(kf_t_init), kf_q=jnp.asarray(kf_q),
+            points=jnp.asarray(p_init),
+            obs_xyz=jnp.asarray(obs_xyz), mask_xyz=jnp.asarray(mask),
+            odo_t=jnp.asarray(odo_t), odo_q=jnp.asarray(odo_q),
+            odo_w=jnp.ones(n_kf - 1, jnp.float32),
+        ), jnp.asarray(kf_t)
+
+    def test_matches_single_device_on_window_local_problem(self):
+        from pre3_tpu.parallel.ba_pose_sharded import (
+            bundle_adjust_pose_sharded,
+        )
+
+        prob, gt_t = self._corridor_problem()
+        single = bundle_adjust(CAM, prob, iters=8)
+        mesh = make_mesh(4, axis="blk")
+        dist, report = bundle_adjust_pose_sharded(
+            mesh, CAM, prob, iters=8, cg_iters=96, sep=3
+        )
+        # keyframe locality → the block windows cover every observation
+        assert report["dropped_obs"] == 0, report
+        np.testing.assert_allclose(
+            np.asarray(dist.kf_t), np.asarray(single.kf_t), atol=2e-3
+        )
+        np.testing.assert_allclose(
+            np.asarray(dist.kf_t), np.asarray(gt_t), atol=5e-3
+        )
+        np.testing.assert_allclose(
+            np.asarray(dist.points), np.asarray(single.points),
+            atol=5e-3,
+        )
+
+    def test_eight_blocks(self):
+        from pre3_tpu.parallel.ba_pose_sharded import (
+            bundle_adjust_pose_sharded,
+        )
+
+        prob, gt_t = self._corridor_problem(n_kf=24, seed=3)
+        mesh = make_mesh(8, axis="blk")
+        dist, report = bundle_adjust_pose_sharded(
+            mesh, CAM, prob, iters=8, cg_iters=96, sep=3
+        )
+        assert report["dropped_obs"] == 0
+        np.testing.assert_allclose(
+            np.asarray(dist.kf_t), np.asarray(gt_t), atol=8e-3
+        )
