@@ -77,6 +77,31 @@ def time_reps(fn, reps=3):
     return out, (time.time() - t0) / reps
 
 
+def time_reps_stats(fn, reps=5):
+    """Per-rep timings for tunnel-noisy modes (VERDICT r4 #5: a metric
+    with 2.7× run-to-run spread needs median + spread, not one sample).
+    Returns (out, [per-rep seconds])."""
+    out = fn(0)
+    _sync(out)  # compile+warm
+    times = []
+    for r in range(reps):
+        t0 = time.time()
+        out = fn(r + 1)
+        _sync(out)
+        times.append(time.time() - t0)
+    return out, times
+
+
+def fps_stats(n_frames, times):
+    fps = sorted(n_frames / t for t in times)
+    return {
+        "median": round(float(np.median(fps)), 2),
+        "min": round(fps[0], 2),
+        "max": round(fps[-1], 2),
+        "n_runs": len(fps),
+    }
+
+
 def main():
     cam = sr4000_camera()
     # Corridor scene: the trajectory drifts ≈1.5 cm/frame in +x (≈3.8 m
@@ -288,11 +313,13 @@ def main():
             images=intensity, xyz_imgs=xyz,
         )
 
-    fast_out, fast_dt = time_reps(
+    fast_out, fast_times = time_reps_stats(
         lambda r: fast_ncc_pipeline(intensity, xyz, conf,
                                     jax.random.PRNGKey(r))
     )
-    extra["slam_fast_ncc_fps"] = round(N_FRAMES / fast_dt, 2)
+    ncc = fps_stats(N_FRAMES, fast_times)
+    extra["slam_fast_ncc_fps"] = ncc["median"]
+    extra["slam_fast_ncc_fps_spread"] = ncc
     extra["slam_fast_ncc_ate_rmse_m"] = round(
         float(ate_rmse(np.asarray(fast_out.t), gt, align=False)), 4
     )
@@ -334,23 +361,31 @@ def main():
     for i in range(2):  # warm the jits
         online.process(frames_dev[i][0], frames_dev[i][1], frames_dev[i][2])
     np.asarray(online.results[-1].t)
-    # latency mode: one dispatch per frame (chunk=1)
-    t0 = time.time()
-    for i in range(2, 2 + n_online):
-        r = online.process(frames_dev[i][0], frames_dev[i][1],
-                           frames_dev[i][2])
-    dispatch_s = time.time() - t0  # host loop time, nothing forced yet
-    np.asarray(r.t)  # fetch the last pose = full-pipeline completion
-    total_s = time.time() - t0
-    extra["online_fps_chunk1"] = round(n_online / total_s, 2)
+    # latency mode: one dispatch per frame (chunk=1). Tunnel-noisy →
+    # median + spread over ≥5 passes (VERDICT r4 #5)
+    c1_times = []
+    dispatch_s = 0.0
+    for _rep in range(5):
+        t0 = time.time()
+        for i in range(2, 2 + n_online):
+            r = online.process(frames_dev[i][0], frames_dev[i][1],
+                               frames_dev[i][2])
+        dispatch_s = time.time() - t0  # host loop, nothing forced yet
+        np.asarray(r.t)  # fetch the last pose = pipeline completion
+        c1_times.append(time.time() - t0)
+    c1 = fps_stats(n_online, c1_times)
+    extra["online_fps_chunk1"] = c1["median"]
+    extra["online_fps_chunk1_spread"] = c1
     extra["online_dispatch_ms"] = round(1e3 * dispatch_s / n_online, 3)
     extra["online_latency_ms_per_frame"] = round(
-        1e3 * total_s / n_online, 3
+        1e3 * np.median(c1_times) / n_online, 3
     )
 
     # throughput mode: 16 frames per dispatch (process_chunk) — the
     # per-execute overhead a remote/tunneled runtime charges a program is
-    # paid per CHUNK here, so throughput approaches the offline scan
+    # paid per CHUNK here, so throughput approaches the offline scan.
+    # Also tunnel-noisy (45–122 fps observed across r3/r4 single-sample
+    # runs): median + spread over ≥5 passes
     c = 16
     n_chunks = (N_FRAMES - 2 - n_online) // c
     chunks = [
@@ -360,12 +395,17 @@ def main():
     jax.block_until_ready(chunks)
     out = online.process_chunk(*chunks[0])  # warm the chunk program
     np.asarray(out[-1].t)
-    t0 = time.time()
-    for ch in chunks[1:]:
-        out = online.process_chunk(*ch)
-    np.asarray(out[-1].t)
     n_done = (n_chunks - 1) * c
-    extra["online_fps"] = round(n_done / (time.time() - t0), 2)
+    ck_times = []
+    for _rep in range(5):
+        t0 = time.time()
+        for ch in chunks[1:]:
+            out = online.process_chunk(*ch)
+        np.asarray(out[-1].t)
+        ck_times.append(time.time() - t0)
+    ck = fps_stats(n_done, ck_times)
+    extra["online_fps"] = ck["median"]
+    extra["online_fps_spread"] = ck
     extra["online_chunk"] = c
 
     # all timed TPU sections done — now run the CPU reference port

@@ -67,6 +67,21 @@ class BaProblem(NamedTuple):
     # accumulated revisit drift (BASELINE.md r3: BA/SLAM plateau ~0.6-0.8
     # without revisit constraints).
     lc_lm: jnp.ndarray | None = None  # [L] bool
+    # Keyframe-to-keyframe loop-closure POSE factors (VERDICT r4 #3): a
+    # relative SE(3) measurement between two non-adjacent keyframes,
+    # mined from a filter re-acquisition by Kabsch on the co-measured
+    # landmark set (ekf_ba.py::ba_problem_from_slam). These inject the
+    # revisit constraint directly into the pose graph — stronger than
+    # un-Huberizing the 1-2 re-acquired landmark factors (measured
+    # neutral, BASELINE.md r4), because the Kabsch estimate fuses EVERY
+    # co-measured landmark into one rigid constraint. Same residual
+    # convention as the odometry chain: lcp_t = R_iᵀ(t_j − t_i),
+    # lcp_q = q_i⁻¹ ⊗ q_j. lcp_w = 0 disables a slot (padding).
+    lcp_i: jnp.ndarray | None = None  # [G] int32 keyframe index i
+    lcp_j: jnp.ndarray | None = None  # [G] int32 keyframe index j
+    lcp_t: jnp.ndarray | None = None  # [G, 3]
+    lcp_q: jnp.ndarray | None = None  # [G, 4]
+    lcp_w: jnp.ndarray | None = None  # [G]
 
 
 class BaResult(NamedTuple):
@@ -106,17 +121,16 @@ def _odo_residual(ti, qi, tj, qj, dxi, dxj, ot, oq, w_t, w_r):
     return jnp.concatenate([r_t, r_r])
 
 
-def _odo_terms(kf_t, kf_q, odo_t, odo_q, w_t, w_r, odo_w=None):
-    """Gauss-Newton contribution of the keyframe odometry chain. These
-    factors couple only adjacent CAMERA poses, so they add directly to the
-    Schur-reduced camera system (no landmark elimination involved).
-    odo_w [F-1] scales each pair's residual (0 = factor disabled).
-    Returns (s_add [F,6,F,6], rhs_add [F,6], cost_sum, n_factors)."""
-    f = kf_t.shape[0]
+def _pair_residual_jacobians(kf_t, kf_q, i_idx, j_idx, rel_t, rel_q,
+                             w_t, w_r, w):
+    """Residuals + Jacobian blocks of relative-pose factors between
+    ARBITRARY keyframe pairs (i_idx, j_idx) — the odometry chain is the
+    adjacent-pair special case, loop closures the non-adjacent one.
+    Returns (r [G, 6], ji [G, 6, 6], jj [G, 6, 6])."""
     zero6 = jnp.zeros(6)
 
-    def per_pair(ti, qi, tj, qj, ot, oq, w):
-        args = (ot, oq, w_t * w, w_r * w)
+    def per_pair(ti, qi, tj, qj, ot, oq, wv):
+        args = (ot, oq, w_t * wv, w_r * wv)
         r = _odo_residual(ti, qi, tj, qj, zero6, zero6, *args)
         ji = jax.jacfwd(
             lambda d: _odo_residual(ti, qi, tj, qj, d, zero6, *args)
@@ -126,28 +140,51 @@ def _odo_terms(kf_t, kf_q, odo_t, odo_q, w_t, w_r, odo_w=None):
         )(zero6)  # [6, 6]
         return r, ji, jj
 
-    if odo_w is None:
-        odo_w = jnp.ones(f - 1, kf_t.dtype)
-    r, ji, jj = jax.vmap(per_pair)(
-        kf_t[:-1], kf_q[:-1], kf_t[1:], kf_q[1:], odo_t, odo_q, odo_w
-    )  # [F-1, ...]
-    i_idx = jnp.arange(f - 1)
+    return jax.vmap(per_pair)(
+        kf_t[i_idx], kf_q[i_idx], kf_t[j_idx], kf_q[j_idx],
+        rel_t, rel_q, w,
+    )
+
+
+def _pair_terms(kf_t, kf_q, i_idx, j_idx, rel_t, rel_q, w_t, w_r, w):
+    """Dense Gauss-Newton contribution of keyframe-pair factors. These
+    couple only CAMERA poses, so they add directly to the Schur-reduced
+    camera system (no landmark elimination involved). w [G] scales each
+    pair's residual (0 = factor disabled). Returns (s_add [F,6,F,6],
+    rhs_add [F,6], cost_sum, n_factors). Duplicate (i, j) pairs
+    accumulate correctly (scatter-add)."""
+    f = kf_t.shape[0]
+    r, ji, jj = _pair_residual_jacobians(
+        kf_t, kf_q, i_idx, j_idx, rel_t, rel_q, w_t, w_r, w
+    )
     s_add = jnp.zeros((f, 6, f, 6))
     s_add = s_add.at[i_idx, :, i_idx, :].add(
         jnp.einsum("pab,pac->pbc", ji, ji)
     )
-    s_add = s_add.at[i_idx + 1, :, i_idx + 1, :].add(
+    s_add = s_add.at[j_idx, :, j_idx, :].add(
         jnp.einsum("pab,pac->pbc", jj, jj)
     )
-    cross = jnp.einsum("pab,pac->pbc", ji, jj)  # [F-1, 6, 6]
-    s_add = s_add.at[i_idx, :, i_idx + 1, :].add(cross)
-    s_add = s_add.at[i_idx + 1, :, i_idx, :].add(
+    cross = jnp.einsum("pab,pac->pbc", ji, jj)  # [G, 6, 6]
+    s_add = s_add.at[i_idx, :, j_idx, :].add(cross)
+    s_add = s_add.at[j_idx, :, i_idx, :].add(
         jnp.swapaxes(cross, -1, -2)
     )
     rhs_add = jnp.zeros((f, 6))
     rhs_add = rhs_add.at[i_idx].add(-jnp.einsum("pab,pa->pb", ji, r))
-    rhs_add = rhs_add.at[i_idx + 1].add(-jnp.einsum("pab,pa->pb", jj, r))
-    return s_add, rhs_add, jnp.sum(r * r), f - 1
+    rhs_add = rhs_add.at[j_idx].add(-jnp.einsum("pab,pa->pb", jj, r))
+    return s_add, rhs_add, jnp.sum(r * r), jnp.sum(w > 0)
+
+
+def _odo_terms(kf_t, kf_q, odo_t, odo_q, w_t, w_r, odo_w=None):
+    """Gauss-Newton contribution of the keyframe odometry chain — the
+    adjacent-pair case of _pair_terms."""
+    f = kf_t.shape[0]
+    if odo_w is None:
+        odo_w = jnp.ones(f - 1, kf_t.dtype)
+    return _pair_terms(
+        kf_t, kf_q, jnp.arange(f - 1), jnp.arange(1, f), odo_t, odo_q,
+        w_t, w_r, odo_w,
+    )
 
 
 def _build_normal_eqs(cam, kf_t, kf_q, points, obs_uv, mask,
@@ -279,17 +316,33 @@ def _odo_cost_sums(kf_t, kf_q, odo):
     return jnp.sum(ro * ro), jnp.sum(odo_w > 0)
 
 
+def _pair_cost_sums(kf_t, kf_q, pair):
+    """(Σ pair-factor cost, factor count) for arbitrary keyframe-pair
+    relative-pose factors (loop closures). pair = (i_idx, j_idx, rel_t,
+    rel_q, w_t, w_r, w)."""
+    i_idx, j_idx, rel_t, rel_q, w_t, w_r, w = pair
+    r, _, _ = _pair_residual_jacobians(
+        kf_t, kf_q, i_idx, j_idx, rel_t, rel_q, w_t, w_r, w
+    )
+    return jnp.sum(r * r), jnp.sum(w > 0)
+
+
 def _cost(cam, kf_t, kf_q, points, obs_uv, mask, obs_xyz, w_xyz_fl,
-          huber_delta=3.0, odo=None):
+          huber_delta=3.0, odo=None, lcp=None):
     """Masked mean factor cost. odo = (odo_t, odo_q, w_t, w_r, odo_w)
     adds the keyframe odometry-chain residuals (quadratic, not Huberized
-    — the filter's own motion estimate has no gross outliers)."""
+    — the filter's own motion estimate has no gross outliers); lcp adds
+    the loop-closure pose factors (_pair_cost_sums tuple)."""
     total, n = _cost_sums(cam, kf_t, kf_q, points, obs_uv, mask, obs_xyz,
                           w_xyz_fl, huber_delta)
     if odo is not None:
         ot, on = _odo_cost_sums(kf_t, kf_q, odo)
         total = total + ot
         n = n + on
+    if lcp is not None:
+        pt, pn = _pair_cost_sums(kf_t, kf_q, lcp)
+        total = total + pt
+        n = n + pn
     return total / jnp.maximum(n, 1)
 
 
@@ -329,6 +382,8 @@ def bundle_adjust(
     odo_weight_t: float = 20.0,
     odo_weight_r: float = 50.0,
     depth_range_ref: float = 0.0,
+    lcp_weight_t: float = 20.0,
+    lcp_weight_r: float = 50.0,
 ) -> BaResult:
     """Fixed-iteration Levenberg–Marquardt BA (static trip count; a step
     that increases the cost is rejected and the damping λ is raised ×10,
@@ -353,6 +408,13 @@ def bundle_adjust(
         (problem.odo_t, problem.odo_q, odo_weight_t, odo_weight_r, odo_w)
         if problem.odo_t is not None else None
     )
+    lcp = (
+        (problem.lcp_i, problem.lcp_j, problem.lcp_t, problem.lcp_q,
+         lcp_weight_t, lcp_weight_r,
+         problem.lcp_w if problem.lcp_w is not None
+         else jnp.ones(problem.lcp_i.shape[0], problem.kf_t.dtype))
+        if problem.lcp_i is not None else None
+    )
     if problem.obs_xyz is None:
         obs_xyz = jnp.zeros((f, l, 3), problem.obs_uv.dtype)
         w_xyz_fl = jnp.zeros((f, l), problem.obs_uv.dtype)
@@ -376,7 +438,7 @@ def bundle_adjust(
     def gn_step(carry, _):
         kf_t, kf_q, points, lam = carry
         c0 = _cost(cam, kf_t, kf_q, points, problem.obs_uv, problem.mask,
-                   obs_xyz, w_xyz_fl, huber_delta=hub, odo=odo)
+                   obs_xyz, w_xyz_fl, huber_delta=hub, odo=odo, lcp=lcp)
         hcc, hpp, wcp, bc, bp = _build_normal_eqs(
             cam, kf_t, kf_q, points, problem.obs_uv, problem.mask,
             obs_xyz, w_xyz_fl, lam, huber_delta=hub,
@@ -388,13 +450,22 @@ def bundle_adjust(
             )
         else:
             s_extra = rhs_extra = None
+        if lcp is not None:
+            s_lc, rhs_lc, _, _ = _pair_terms(
+                kf_t, kf_q, lcp[0], lcp[1], lcp[2], lcp[3],
+                lcp_weight_t, lcp_weight_r, lcp[6],
+            )
+            s_extra = s_lc if s_extra is None else s_extra + s_lc
+            rhs_extra = (
+                rhs_lc if rhs_extra is None else rhs_extra + rhs_lc
+            )
         dc, dp = schur_solve(hcc, hpp, wcp, bc, bp, fixed_first,
                              s_extra, rhs_extra)
         t2 = kf_t + dc[:, :3]
         q2 = qnormalize(qprod(kf_q, v2q(dc[:, 3:])))
         p2 = points + dp
         c1 = _cost(cam, t2, q2, p2, problem.obs_uv, problem.mask,
-                   obs_xyz, w_xyz_fl, huber_delta=hub, odo=odo)
+                   obs_xyz, w_xyz_fl, huber_delta=hub, odo=odo, lcp=lcp)
         better = c1 < c0
         kf_t = jnp.where(better, t2, kf_t)
         kf_q = jnp.where(better, q2, kf_q)
@@ -414,6 +485,7 @@ def bundle_adjust(
     cost0 = _cost(
         cam, problem.kf_t, problem.kf_q, problem.points, problem.obs_uv,
         problem.mask, obs_xyz, w_xyz_fl, huber_delta=hub, odo=odo,
+        lcp=lcp,
     )
     return BaResult(
         kf_t=kf_t, kf_q=kf_q, points=points,

@@ -160,24 +160,36 @@ def ba_problem_from_slam(
     # corridor post-BA ATE (0.21 → 0.47). Genuine revisit factors carry
     # the only long-baseline information in the problem.
     lc_lm = np.zeros(l, bool)
+    lc_events: list[tuple[int, int]] = []
     rec_visible = getattr(traj.records, "visible", None)
     if lc_gap > 0 and rec_visible is not None:
         rec_visible = np.asarray(rec_visible)  # [F-1, K]
-        for (slot, initf), li in ids.items():
-            li2 = remap[li]
-            if li2 < 0:
+        # scan ALL record slots (not just keyframe-observed landmarks):
+        # a re-acquisition between keyframes is still a revisit witness
+        # for the pose-factor mining even when the landmark itself never
+        # lands on a keyframe row
+        for slot in range(k):
+            rows_all = np.nonzero(measured[:, slot])[0]
+            if len(rows_all) < 2:
                 continue
-            rows = np.nonzero(
-                measured[:, slot] & (init_frame[:, slot] == initf)
-            )[0]
-            if len(rows) < 2:
-                continue
-            gaps = np.diff(rows)
-            for gi in np.nonzero(gaps >= lc_gap)[0]:
-                r0, r1 = rows[gi], rows[gi + 1]
-                if rec_visible[r0 + 1:r1, slot].mean() < 0.3:
-                    lc_lm[li2] = True
-                    break
+            for initf in np.unique(init_frame[rows_all, slot]):
+                rows = rows_all[init_frame[rows_all, slot] == initf]
+                if len(rows) < 2:
+                    continue
+                gaps = np.diff(rows)
+                for gi in np.nonzero(gaps >= lc_gap)[0]:
+                    r0, r1 = rows[gi], rows[gi + 1]
+                    if rec_visible[r0 + 1:r1, slot].mean() < 0.3:
+                        lc_events.append((int(r0), int(r1)))
+                        lid = (int(slot), int(initf))
+                        li = ids.get(lid)
+                        if li is not None and remap[li] >= 0:
+                            lc_lm[remap[li]] = True
+
+    lcp = _mine_lc_pose_factors(
+        lc_events, measured, init_frame, z_xyz, t_all, q_all,
+        kf_indices, kf_valid,
+    )
 
     # Odometry-chain factors between consecutive keyframes: the filter's
     # own relative motion (t in frame i, q_i⁻¹⊗q_{i+1}). These carry the
@@ -213,4 +225,107 @@ def ba_problem_from_slam(
         odo_q=jnp.asarray(odo_q),
         odo_w=jnp.asarray(odo_w),
         lc_lm=jnp.asarray(lc_lm),
+        **(
+            {
+                "lcp_i": jnp.asarray(lcp[0]),
+                "lcp_j": jnp.asarray(lcp[1]),
+                "lcp_t": jnp.asarray(lcp[2]),
+                "lcp_q": jnp.asarray(lcp[3]),
+                "lcp_w": jnp.asarray(lcp[4]),
+            }
+            if lcp is not None else {}
+        ),
+    )
+
+
+def _mine_lc_pose_factors(
+    events: list[tuple[int, int]],  # (r0, r1) record rows of a revisit
+    measured: np.ndarray,  # [F-1, K]
+    init_frame: np.ndarray,  # [F-1, K]
+    z_xyz: np.ndarray,  # [F-1, K, 3] camera-frame depth observations
+    t_all: np.ndarray,  # [F, 3] filter trajectory
+    q_all: np.ndarray,  # [F, 4]
+    kf_indices: np.ndarray,  # [M]
+    kf_valid: np.ndarray,  # [M]
+    min_pts: int = 4,
+    max_rmse: float = 0.05,
+):
+    """Keyframe-to-keyframe relative-pose factors from filter
+    re-acquisitions (VERDICT r4 #3).
+
+    For each revisit event (a landmark re-measured at record row r1
+    after an out-of-view gap since r0 — the filter's implicit loop
+    closure, mono_slam.m:161 matching + rescue_hi_inliers.m:27-47
+    vetting), the CO-MEASURED landmark set of frames f0 = r0+1 and
+    f1 = r1+1 (same slot, same init_frame, valid depth in both) gives a
+    direct rigid constraint: Kabsch on the two camera-frame point sets
+    yields T_{f0→f1} with NO dependence on the drifted world estimates.
+    The frames map to their nearest keyframes with short filter-pose
+    hops composed in (negligible drift over ≤ a few frames), and the
+    strongest event (most co-measured points) is kept per keyframe
+    pair. Returns (lcp_i, lcp_j, lcp_t, lcp_q, lcp_w) or None."""
+    import jax.numpy as jnp
+
+    from pre3_tpu.geometry.quaternion import (
+        qconj, qnormalize, qprod, qrotate, r2q,
+    )
+    from pre3_tpu.vo.rigid import kabsch
+
+    valid_pos = np.nonzero(np.asarray(kf_valid))[0]
+    if len(valid_pos) < 2 or not events:
+        return None
+    kf_frames = np.asarray(kf_indices)[valid_pos]
+
+    def rel(i: int, j: int):
+        """Filter-estimated relative pose frame i → frame j (t in frame
+        i, q_i⁻¹⊗q_j — the _odo_residual convention)."""
+        qi = jnp.asarray(q_all[i])
+        return (
+            qrotate(qconj(qi), jnp.asarray(t_all[j] - t_all[i])),
+            qprod(qconj(qi), jnp.asarray(q_all[j])),
+        )
+
+    best: dict[tuple[int, int], tuple[int, np.ndarray, np.ndarray]] = {}
+    for r0, r1 in sorted(set(events)):
+        co = (
+            measured[r0] & measured[r1]
+            & (init_frame[r0] == init_frame[r1])
+            & (np.linalg.norm(z_xyz[r0], axis=-1) > 0.2)
+            & (np.linalg.norm(z_xyz[r1], axis=-1) > 0.2)
+        )
+        n = int(co.sum())
+        if n < min_pts:
+            continue
+        fit = kabsch(jnp.asarray(z_xyz[r0, co]),
+                     jnp.asarray(z_xyz[r1, co]))
+        if not bool(fit.ok) or float(fit.rmse) > max_rmse:
+            continue
+        f0, f1 = r0 + 1, r1 + 1
+        ia = int(valid_pos[np.argmin(np.abs(kf_frames - f0))])
+        ib = int(valid_pos[np.argmin(np.abs(kf_frames - f1))])
+        if ia == ib:
+            continue
+        fa, fb = int(kf_indices[ia]), int(kf_indices[ib])
+        t_a0, q_a0 = rel(fa, f0)
+        t_1b, q_1b = rel(f1, fb)
+        q_k, t_k = r2q(fit.r), fit.t
+        # T_{a→b} = T_{a→f0} ∘ T_{f0→f1} ∘ T_{f1→b}
+        t_ab = t_a0 + qrotate(q_a0, t_k + qrotate(q_k, t_1b))
+        q_ab = qnormalize(qprod(q_a0, qprod(q_k, q_1b)))
+        key = (ia, ib) if ia < ib else (ib, ia)
+        if ia > ib:  # store factors in ascending (i, j) orientation
+            # invert: T_{b→a} = T_{a→b}⁻¹
+            q_ab = qconj(q_ab)
+            t_ab = -qrotate(q_ab, t_ab)
+        if key not in best or best[key][0] < n:
+            best[key] = (n, np.asarray(t_ab), np.asarray(q_ab))
+    if not best:
+        return None
+    keys = sorted(best)
+    return (
+        np.array([k[0] for k in keys], np.int32),
+        np.array([k[1] for k in keys], np.int32),
+        np.stack([best[k][1] for k in keys]).astype(np.float32),
+        np.stack([best[k][2] for k in keys]).astype(np.float32),
+        np.ones(len(keys), np.float32),
     )

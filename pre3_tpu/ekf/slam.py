@@ -143,6 +143,12 @@ class StepStats(NamedTuple):
     n_active: jnp.ndarray
     vo_ok: jnp.ndarray
     vo_inliers: jnp.ndarray
+    # inlier slots silently dropped because more than max_update_slots
+    # measured this step (0 whenever the bound has margin — the bounded
+    # update is then exact). Nonzero means max_update_slots is
+    # under-provisioned for this scene (ADVICE r4: make the cliff
+    # observable instead of silent).
+    update_overflow: jnp.ndarray = 0
 
 
 class StepRecord(NamedTuple):
@@ -361,6 +367,15 @@ def slam_step(
             _with_heading, lambda s: s, state,
         )
 
+    if ms is not None:
+        # each bounded kalman_update keeps at most ms used slots; count
+        # what the li and hi updates would have silently dropped
+        overflow = (
+            jnp.maximum(jnp.sum(li) - ms, 0)
+            + jnp.maximum(jnp.sum(hi) - ms, 0)
+        )
+    else:
+        overflow = jnp.asarray(0, jnp.int32)
     stats = StepStats(
         n_visible=jnp.sum(obs.visible),
         n_ic=jnp.sum(obs.ic),
@@ -369,6 +384,7 @@ def slam_step(
         n_active=jnp.sum(state.active),
         vo_ok=vo_ok,
         vo_inliers=vo_inliers,
+        update_overflow=overflow,
     )
     record = StepRecord(
         z=obs.z, z_xyz=obs.z_xyz, measured=measured,

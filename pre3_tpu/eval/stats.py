@@ -38,6 +38,12 @@ def summarize_stats(stats) -> dict:
         "vo_ok_rate": float(vo_ok.mean()),
         "vo_inliers_mean": float(g("vo_inliers").mean()),
         "steps_without_update": int((inl == 0).sum()),
+        # inliers silently dropped by an under-provisioned
+        # max_update_slots bound — 0 means the bounded update was exact
+        # on every step (ekf/update.py kalman_update)
+        "update_overflow_total": int(
+            np.asarray(getattr(stats, "update_overflow", 0)).sum()
+        ),
     }
 
 

@@ -24,7 +24,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from pre3_tpu.backend.ba import (
     BaProblem, BaResult, _build_normal_eqs, _cost_sums, _odo_cost_sums,
-    _odo_terms,
+    _odo_terms, _pair_cost_sums, _pair_terms,
 )
 from pre3_tpu.parallel.distributed import globalize_replicated
 from pre3_tpu.geometry.camera import Camera
@@ -69,6 +69,8 @@ def bundle_adjust_sharded(
     odo_weight_t: float = 20.0,
     odo_weight_r: float = 50.0,
     depth_range_ref: float = 0.0,
+    lcp_weight_t: float = 20.0,
+    lcp_weight_r: float = 50.0,
     axis: str = "lm",
 ) -> BaResult:
     """Landmark-sharded BA. Numerically identical to backend.ba.
@@ -88,6 +90,9 @@ def bundle_adjust_sharded(
         problem.odo_w if problem.odo_w is not None
         else jnp.ones(f - 1, problem.kf_t.dtype)
     ) if has_odo else None
+    n_lcp = (
+        int(problem.lcp_i.shape[0]) if problem.lcp_i is not None else 0
+    )
 
     obs_xyz = (
         problem.obs_xyz
@@ -105,7 +110,8 @@ def bundle_adjust_sharded(
     )
 
     run = _make_run(mesh, cam, iters, damping, odo_weight_t,
-                    odo_weight_r, axis, n_dev, f, has_odo, l_orig)
+                    odo_weight_r, axis, n_dev, f, has_odo, l_orig,
+                    n_lcp, lcp_weight_t, lcp_weight_r)
 
     # dummy (zero-weight) odo tensors keep the jit signature static when
     # the problem has no odometry chain
@@ -121,6 +127,20 @@ def bundle_adjust_sharded(
         problem.lc_lm if problem.lc_lm is not None
         else jnp.zeros(l, bool)
     )
+    if n_lcp > 0:
+        lcp_in = (
+            problem.lcp_i, problem.lcp_j, problem.lcp_t, problem.lcp_q,
+            problem.lcp_w if problem.lcp_w is not None
+            else jnp.ones(n_lcp, problem.kf_t.dtype),
+        )
+    else:  # static-shape dummies (G=1, weight 0 → exact no-op factor)
+        lcp_in = (
+            jnp.zeros(1, jnp.int32), jnp.zeros(1, jnp.int32),
+            jnp.zeros((1, 3), problem.kf_t.dtype),
+            jnp.tile(jnp.array([1.0, 0, 0, 0], problem.kf_t.dtype),
+                     (1, 1)),
+            jnp.zeros(1, problem.kf_t.dtype),
+        )
 
     g = partial(globalize_replicated, mesh)
     with jax.set_mesh(mesh):
@@ -128,6 +148,7 @@ def bundle_adjust_sharded(
             g(problem.kf_t), g(problem.kf_q), g(problem.points),
             g(problem.obs_uv), g(problem.mask), g(obs_xyz), g(w_xyz_fl),
             g(odo_t_in), g(odo_q_in), g(odo_w_in), g(lc_in),
+            *(g(x) for x in lcp_in),
         )
     return BaResult(kf_t=kf_t, kf_q=kf_q, points=points, cost=costs)
 
@@ -136,7 +157,8 @@ _RUN_CACHE: dict = {}
 
 
 def _make_run(mesh, cam, iters, damping, odo_weight_t, odo_weight_r,
-              axis, n_dev, f, has_odo, l_orig):
+              axis, n_dev, f, has_odo, l_orig, n_lcp=0,
+              lcp_weight_t=20.0, lcp_weight_r=50.0):
     """Build (once per configuration/shape) the jitted sharded GN loop.
     The cache is load-bearing: a fresh shard_map + jit closure per call
     would recompile the whole distributed program on every invocation
@@ -149,7 +171,8 @@ def _make_run(mesh, cam, iters, damping, odo_weight_t, odo_weight_r,
                                        cam.k2)),
         cam.n_rows, cam.n_cols, iters, float(damping),
         float(odo_weight_t), float(odo_weight_r), axis, n_dev, f,
-        has_odo, l_orig,
+        has_odo, l_orig, n_lcp, float(lcp_weight_t),
+        float(lcp_weight_r),
     )
     if key in _RUN_CACHE:
         return _RUN_CACHE[key]
@@ -158,10 +181,11 @@ def _make_run(mesh, cam, iters, damping, odo_weight_t, odo_weight_r,
     rep = P()
 
     def local_step(kf_t, kf_q, points_l, obs_uv_l, mask_l, obs_xyz_l,
-                   w_xyz_l, lam, odo_t, odo_q, odo_wv, lc_l):
-        """Runs per device on its landmark shard. odo_* are replicated
-        (camera-chain factors, added once post-psum); lc_l is the local
-        shard's loop-closure mask (un-Huberized factors)."""
+                   w_xyz_l, lam, odo_t, odo_q, odo_wv, lc_l,
+                   lcp_i, lcp_j, lcp_t, lcp_q, lcp_w):
+        """Runs per device on its landmark shard. odo_*/lcp_* are
+        replicated (camera-camera factors, added once post-psum); lc_l
+        is the local shard's loop-closure mask (un-Huberized factors)."""
         hcc, hpp, wcp, bc, bp = _build_normal_eqs(
             cam, kf_t, kf_q, points_l, obs_uv_l, mask_l, obs_xyz_l,
             w_xyz_l, lam, huber_delta=jnp.where(lc_l[None, :], 1e6, 3.0),
@@ -195,6 +219,14 @@ def _make_run(mesh, cam, iters, damping, odo_weight_t, odo_weight_r,
             )
             s_full = s_full + s_add
             rhs_full = rhs_full + rhs_add
+        # loop-closure pose factors (replicated, zero-weight dummies
+        # when the problem has none — exact no-ops)
+        s_lc, rhs_lc, _, _ = _pair_terms(
+            kf_t, kf_q, lcp_i, lcp_j, lcp_t, lcp_q,
+            lcp_weight_t, lcp_weight_r, lcp_w,
+        )
+        s_full = s_full + s_lc
+        rhs_full = rhs_full + rhs_lc
         # gauge: freeze keyframe 0
         keep = jnp.ones((f,)).at[0].set(0.0)
         s_full = (
@@ -219,7 +251,8 @@ def _make_run(mesh, cam, iters, damping, odo_weight_t, odo_weight_r,
         local_step,
         mesh=mesh,
         in_specs=(rep, rep, pt_spec, lm_spec, lm_spec, lm_spec, lm_spec,
-                  rep, rep, rep, rep, pt_spec),
+                  rep, rep, rep, rep, pt_spec,
+                  rep, rep, rep, rep, rep),
         out_specs=(rep, pt_spec),
     )
 
@@ -250,11 +283,14 @@ def _make_run(mesh, cam, iters, damping, odo_weight_t, odo_weight_r,
     # copies (a local slice, no communication).
     @jax.jit
     def run(kf_t, kf_q, points, obs_uv, mask, obs_xyz, w_xyz_fl,
-            odo_t, odo_q, odo_wv, lc):
+            odo_t, odo_q, odo_wv, lc,
+            lcp_i, lcp_j, lcp_t, lcp_q, lcp_w):
         odo = (
             (odo_t, odo_q, odo_weight_t, odo_weight_r, odo_wv)
             if has_odo else None
         )
+        lcp = (lcp_i, lcp_j, lcp_t, lcp_q, lcp_weight_t, lcp_weight_r,
+               lcp_w)
 
         def cost(kf_t, kf_q, points):
             tot, n = sharded_cost(kf_t, kf_q, points, obs_uv, mask,
@@ -262,6 +298,8 @@ def _make_run(mesh, cam, iters, damping, odo_weight_t, odo_weight_r,
             if odo is not None:
                 ot, on = _odo_cost_sums(kf_t, kf_q, odo)
                 tot, n = tot + ot, n + on
+            pt, pn = _pair_cost_sums(kf_t, kf_q, lcp)
+            tot, n = tot + pt, n + pn
             return tot / jnp.maximum(n, 1)
 
         def gn_step(carry, _):
@@ -270,6 +308,7 @@ def _make_run(mesh, cam, iters, damping, odo_weight_t, odo_weight_r,
             dc, dp = sharded(
                 kf_t, kf_q, points, obs_uv, mask, obs_xyz, w_xyz_fl, lam,
                 odo_t, odo_q, odo_wv, lc,
+                lcp_i, lcp_j, lcp_t, lcp_q, lcp_w,
             )
             t2 = kf_t + dc[:, :3]
             q2 = qnormalize(qprod(kf_q, v2q(dc[:, 3:])))

@@ -224,3 +224,167 @@ class TestPoseShardedBa:
         np.testing.assert_allclose(
             np.asarray(dist.kf_t), np.asarray(gt_t), atol=8e-3
         )
+
+    def test_fb_smaller_than_sep(self):
+        """The driver's dryrun shape (F = 2·n_dev → fb = 2 < sep = 3)
+        crashed in round 4 (VERDICT r4 #1): halo_exchange's x_own[-sep:]
+        slices clamp to fb rows and the window math breaks. sep must
+        clamp to fb. Pinned against the single-device optimizer."""
+        from pre3_tpu.parallel.ba_pose_sharded import (
+            bundle_adjust_pose_sharded,
+        )
+
+        prob, gt_t = self._corridor_problem(n_kf=16, seed=5)
+        single = bundle_adjust(CAM, prob, iters=8)
+        mesh = make_mesh(8, axis="blk")
+        dist, report = bundle_adjust_pose_sharded(
+            mesh, CAM, prob, iters=8, cg_iters=96, sep=3
+        )
+        assert report["fb"] == 2
+        assert report["window"] == 6  # sep clamped 3 → 2
+        assert report["dropped_obs"] == 0, report
+        np.testing.assert_allclose(
+            np.asarray(dist.kf_t), np.asarray(single.kf_t), atol=3e-3
+        )
+        np.testing.assert_allclose(
+            np.asarray(dist.kf_t), np.asarray(gt_t), atol=8e-3
+        )
+
+    def test_uneven_f_with_empty_blocks(self):
+        """F = 10 on 8 blocks: fb = 2, fpad = 16 — blocks 5-7 hold only
+        padded poses. The padding/own_valid path had zero coverage in
+        round 4 (VERDICT r4 weak #2)."""
+        from pre3_tpu.parallel.ba_pose_sharded import (
+            bundle_adjust_pose_sharded,
+        )
+
+        prob, gt_t = self._corridor_problem(n_kf=10, seed=7)
+        single = bundle_adjust(CAM, prob, iters=8)
+        mesh = make_mesh(8, axis="blk")
+        dist, report = bundle_adjust_pose_sharded(
+            mesh, CAM, prob, iters=8, cg_iters=96, sep=3
+        )
+        assert report["dropped_obs"] == 0, report
+        np.testing.assert_allclose(
+            np.asarray(dist.kf_t), np.asarray(single.kf_t), atol=3e-3
+        )
+        np.testing.assert_allclose(
+            np.asarray(dist.kf_t), np.asarray(gt_t), atol=8e-3
+        )
+
+    def test_uneven_f_partial_last_block(self):
+        """F = 25 on 7 blocks: fb = 4, last block owns 1 real + 3 padded
+        poses (uneven division without whole empty blocks)."""
+        from pre3_tpu.parallel.ba_pose_sharded import (
+            bundle_adjust_pose_sharded,
+        )
+
+        prob, gt_t = self._corridor_problem(n_kf=25, seed=9)
+        single = bundle_adjust(CAM, prob, iters=8)
+        mesh = make_mesh(7, axis="blk")
+        dist, report = bundle_adjust_pose_sharded(
+            mesh, CAM, prob, iters=8, cg_iters=96, sep=3
+        )
+        assert report["fb"] == 4
+        assert report["dropped_obs"] == 0, report
+        np.testing.assert_allclose(
+            np.asarray(dist.kf_t), np.asarray(single.kf_t), atol=3e-3
+        )
+        np.testing.assert_allclose(
+            np.asarray(dist.kf_t), np.asarray(gt_t), atol=8e-3
+        )
+
+    def test_global_landmarks_exact_on_nonlocal_problem(self):
+        """Observation spans of 13 frames >> any block window (fb=2,
+        sep→2 ⇒ width 6): round 4 silently DROPPED those observations
+        (VERDICT r4 weak #7); now they route to the replicated global
+        factor group and the result matches the single-device optimizer
+        on a problem window locality does NOT cover."""
+        from pre3_tpu.parallel.ba_pose_sharded import (
+            bundle_adjust_pose_sharded,
+        )
+
+        prob, gt_t = self._corridor_problem(n_kf=16, span=6, seed=11)
+        single = bundle_adjust(CAM, prob, iters=8)
+        mesh = make_mesh(8, axis="blk")
+        dist, report = bundle_adjust_pose_sharded(
+            mesh, CAM, prob, iters=8, cg_iters=128, sep=3
+        )
+        assert report["dropped_obs"] == 0, report
+        assert report["global_lm"] > 0, report
+        assert report["global_obs"] > 0
+        np.testing.assert_allclose(
+            np.asarray(dist.kf_t), np.asarray(single.kf_t), atol=3e-3
+        )
+        np.testing.assert_allclose(
+            np.asarray(dist.points), np.asarray(single.points),
+            atol=5e-3,
+        )
+        np.testing.assert_allclose(
+            np.asarray(dist.kf_t), np.asarray(gt_t), atol=8e-3
+        )
+
+    def test_lcp_pose_factors_all_three_paths_agree(self):
+        """Keyframe-pair loop-closure pose factors (BaProblem.lcp_*)
+        must be consumed identically by bundle_adjust, the landmark-
+        sharded path, and the pose-sharded path (VERDICT r4 #3: 'consume
+        it in BOTH backend/ba.py and the sharded paths')."""
+        from pre3_tpu.geometry.quaternion import qconj, qprod, qrotate
+        from pre3_tpu.parallel.ba_pose_sharded import (
+            bundle_adjust_pose_sharded,
+        )
+
+        prob, gt_t = self._corridor_problem(n_kf=16, seed=13)
+        # fabricate a loop-closure factor between kf 2 and kf 13 with
+        # the ground-truth relative pose (identity rotation corridor)
+        i, j = 2, 13
+        rel_t = qrotate(qconj(prob.kf_q[i]), gt_t[j] - gt_t[i])
+        rel_q = qprod(qconj(prob.kf_q[i]), prob.kf_q[j])
+        prob = prob._replace(
+            lcp_i=jnp.asarray([i], jnp.int32),
+            lcp_j=jnp.asarray([j], jnp.int32),
+            lcp_t=rel_t[None], lcp_q=rel_q[None],
+            lcp_w=jnp.ones(1, jnp.float32),
+        )
+        single = bundle_adjust(CAM, prob, iters=8)
+        mesh_lm = make_mesh(8, axis="lm")
+        lm_sharded = bundle_adjust_sharded(mesh_lm, CAM, prob, iters=8)
+        mesh_blk = make_mesh(8, axis="blk")
+        pose_sharded, report = bundle_adjust_pose_sharded(
+            mesh_blk, CAM, prob, iters=8, cg_iters=128, sep=3
+        )
+        np.testing.assert_allclose(
+            np.asarray(lm_sharded.kf_t), np.asarray(single.kf_t),
+            atol=1e-4,
+        )
+        np.testing.assert_allclose(
+            np.asarray(pose_sharded.kf_t), np.asarray(single.kf_t),
+            atol=3e-3,
+        )
+        np.testing.assert_allclose(
+            float(pose_sharded.cost[0]), float(single.cost[0]),
+            rtol=1e-4,
+        )
+        np.testing.assert_allclose(
+            float(lm_sharded.cost[0]), float(single.cost[0]), rtol=1e-4
+        )
+
+    def test_cost_history_includes_initial_cost(self):
+        """cost[0] must be the PRE-optimization cost in all three BA
+        implementations (ADVICE r4): len == iters+1 and cost[0] matches
+        bundle_adjust's cost[0] on the same problem."""
+        from pre3_tpu.parallel.ba_pose_sharded import (
+            bundle_adjust_pose_sharded,
+        )
+
+        prob, _ = self._corridor_problem(n_kf=16, seed=5)
+        single = bundle_adjust(CAM, prob, iters=4)
+        mesh = make_mesh(4, axis="blk")
+        dist, _ = bundle_adjust_pose_sharded(
+            mesh, CAM, prob, iters=4, cg_iters=64, sep=3
+        )
+        assert dist.cost.shape[0] == 5
+        np.testing.assert_allclose(
+            float(dist.cost[0]), float(single.cost[0]), rtol=1e-4
+        )
+        assert float(dist.cost[-1]) < float(dist.cost[0])
