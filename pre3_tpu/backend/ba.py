@@ -82,6 +82,12 @@ class BaProblem(NamedTuple):
     lcp_t: jnp.ndarray | None = None  # [G, 3]
     lcp_q: jnp.ndarray | None = None  # [G, 4]
     lcp_w: jnp.ndarray | None = None  # [G]
+    # Optional per-factor square-root information [G, 6, 6] (rows order
+    # [t(3), ω(3)]) — the Cholesky factor of the inverse IFT covariance
+    # of the Kabsch fit that produced the measurement. When present it
+    # REPLACES the scalar lcp weights: the anisotropy matters (see
+    # _pair_residual_jacobians).
+    lcp_info: jnp.ndarray | None = None
 
 
 class BaResult(NamedTuple):
@@ -122,31 +128,58 @@ def _odo_residual(ti, qi, tj, qj, dxi, dxj, ot, oq, w_t, w_r):
 
 
 def _pair_residual_jacobians(kf_t, kf_q, i_idx, j_idx, rel_t, rel_q,
-                             w_t, w_r, w):
+                             w_t, w_r, w, w_mat=None):
     """Residuals + Jacobian blocks of relative-pose factors between
     ARBITRARY keyframe pairs (i_idx, j_idx) — the odometry chain is the
     adjacent-pair special case, loop closures the non-adjacent one.
-    Returns (r [G, 6], ji [G, 6, 6], jj [G, 6, 6])."""
+    Returns (r [G, 6], ji [G, 6, 6], jj [G, 6, 6]).
+
+    w_mat [G, 6, 6]: optional per-factor square-root INFORMATION matrix
+    replacing the scalar (w_t, w_r) weights — the whitened residual is
+    wv·(L @ r_raw). A Kabsch-estimated loop-closure pose is strongly
+    anisotropic (mm along the depth axis, cm laterally from the
+    rotation-translation ambiguity of a narrow-FOV point set); isotropic
+    weights either ignore its good directions or get poisoned by its bad
+    ones (measured r5: iso-weighted rematch factors DOUBLED multi-loop
+    post-BA ATE), so the factor carries the IFT covariance of its own
+    fit (vo/covariance.py — the C16 machinery)."""
     zero6 = jnp.zeros(6)
 
-    def per_pair(ti, qi, tj, qj, ot, oq, wv):
-        args = (ot, oq, w_t * wv, w_r * wv)
-        r = _odo_residual(ti, qi, tj, qj, zero6, zero6, *args)
-        ji = jax.jacfwd(
-            lambda d: _odo_residual(ti, qi, tj, qj, d, zero6, *args)
-        )(zero6)  # [6, 6]
-        jj = jax.jacfwd(
-            lambda d: _odo_residual(ti, qi, tj, qj, zero6, d, *args)
-        )(zero6)  # [6, 6]
+    if w_mat is None:
+        def per_pair(ti, qi, tj, qj, ot, oq, wv):
+            args = (ot, oq, w_t * wv, w_r * wv)
+            r = _odo_residual(ti, qi, tj, qj, zero6, zero6, *args)
+            ji = jax.jacfwd(
+                lambda d: _odo_residual(ti, qi, tj, qj, d, zero6, *args)
+            )(zero6)  # [6, 6]
+            jj = jax.jacfwd(
+                lambda d: _odo_residual(ti, qi, tj, qj, zero6, d, *args)
+            )(zero6)  # [6, 6]
+            return r, ji, jj
+
+        return jax.vmap(per_pair)(
+            kf_t[i_idx], kf_q[i_idx], kf_t[j_idx], kf_q[j_idx],
+            rel_t, rel_q, w,
+        )
+
+    def per_pair_m(ti, qi, tj, qj, ot, oq, wv, lmat):
+        def res(di, dj):
+            raw = _odo_residual(ti, qi, tj, qj, di, dj, ot, oq, 1.0, 1.0)
+            return wv * (lmat @ raw)
+
+        r = res(zero6, zero6)
+        ji = jax.jacfwd(lambda d: res(d, zero6))(zero6)
+        jj = jax.jacfwd(lambda d: res(zero6, d))(zero6)
         return r, ji, jj
 
-    return jax.vmap(per_pair)(
+    return jax.vmap(per_pair_m)(
         kf_t[i_idx], kf_q[i_idx], kf_t[j_idx], kf_q[j_idx],
-        rel_t, rel_q, w,
+        rel_t, rel_q, w, w_mat,
     )
 
 
-def _pair_terms(kf_t, kf_q, i_idx, j_idx, rel_t, rel_q, w_t, w_r, w):
+def _pair_terms(kf_t, kf_q, i_idx, j_idx, rel_t, rel_q, w_t, w_r, w,
+                w_mat=None):
     """Dense Gauss-Newton contribution of keyframe-pair factors. These
     couple only CAMERA poses, so they add directly to the Schur-reduced
     camera system (no landmark elimination involved). w [G] scales each
@@ -155,7 +188,7 @@ def _pair_terms(kf_t, kf_q, i_idx, j_idx, rel_t, rel_q, w_t, w_r, w):
     accumulate correctly (scatter-add)."""
     f = kf_t.shape[0]
     r, ji, jj = _pair_residual_jacobians(
-        kf_t, kf_q, i_idx, j_idx, rel_t, rel_q, w_t, w_r, w
+        kf_t, kf_q, i_idx, j_idx, rel_t, rel_q, w_t, w_r, w, w_mat
     )
     s_add = jnp.zeros((f, 6, f, 6))
     s_add = s_add.at[i_idx, :, i_idx, :].add(
@@ -319,10 +352,10 @@ def _odo_cost_sums(kf_t, kf_q, odo):
 def _pair_cost_sums(kf_t, kf_q, pair):
     """(Σ pair-factor cost, factor count) for arbitrary keyframe-pair
     relative-pose factors (loop closures). pair = (i_idx, j_idx, rel_t,
-    rel_q, w_t, w_r, w)."""
-    i_idx, j_idx, rel_t, rel_q, w_t, w_r, w = pair
+    rel_q, w_t, w_r, w, w_mat-or-None)."""
+    i_idx, j_idx, rel_t, rel_q, w_t, w_r, w, w_mat = pair
     r, _, _ = _pair_residual_jacobians(
-        kf_t, kf_q, i_idx, j_idx, rel_t, rel_q, w_t, w_r, w
+        kf_t, kf_q, i_idx, j_idx, rel_t, rel_q, w_t, w_r, w, w_mat
     )
     return jnp.sum(r * r), jnp.sum(w > 0)
 
@@ -412,7 +445,8 @@ def bundle_adjust(
         (problem.lcp_i, problem.lcp_j, problem.lcp_t, problem.lcp_q,
          lcp_weight_t, lcp_weight_r,
          problem.lcp_w if problem.lcp_w is not None
-         else jnp.ones(problem.lcp_i.shape[0], problem.kf_t.dtype))
+         else jnp.ones(problem.lcp_i.shape[0], problem.kf_t.dtype),
+         problem.lcp_info)
         if problem.lcp_i is not None else None
     )
     if problem.obs_xyz is None:
@@ -453,7 +487,7 @@ def bundle_adjust(
         if lcp is not None:
             s_lc, rhs_lc, _, _ = _pair_terms(
                 kf_t, kf_q, lcp[0], lcp[1], lcp[2], lcp[3],
-                lcp_weight_t, lcp_weight_r, lcp[6],
+                lcp_weight_t, lcp_weight_r, lcp[6], lcp[7],
             )
             s_extra = s_lc if s_extra is None else s_extra + s_lc
             rhs_extra = (

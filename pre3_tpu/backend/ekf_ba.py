@@ -232,6 +232,7 @@ def ba_problem_from_slam(
                 "lcp_t": jnp.asarray(lcp[2]),
                 "lcp_q": jnp.asarray(lcp[3]),
                 "lcp_w": jnp.asarray(lcp[4]),
+                "lcp_info": jnp.asarray(lcp[5]),
             }
             if lcp is not None else {}
         ),
@@ -285,7 +286,10 @@ def _mine_lc_pose_factors(
             qprod(qconj(qi), jnp.asarray(q_all[j])),
         )
 
-    best: dict[tuple[int, int], tuple[int, np.ndarray, np.ndarray]] = {}
+    from pre3_tpu.backend.loop_detect import sqrt_information
+    from pre3_tpu.vo.covariance import vo_covariance
+
+    best: dict[tuple[int, int], tuple] = {}
     for r0, r1 in sorted(set(events)):
         co = (
             measured[r0] & measured[r1]
@@ -296,10 +300,14 @@ def _mine_lc_pose_factors(
         n = int(co.sum())
         if n < min_pts:
             continue
-        fit = kabsch(jnp.asarray(z_xyz[r0, co]),
-                     jnp.asarray(z_xyz[r1, co]))
+        p0 = jnp.asarray(z_xyz[r0, co])
+        p1 = jnp.asarray(z_xyz[r1, co])
+        fit = kabsch(p0, p1)
         if not bool(fit.ok) or float(fit.rmse) > max_rmse:
             continue
+        cov = np.asarray(vo_covariance(
+            fit.r, fit.t, p0, p1, jnp.ones(p0.shape[0], p0.dtype)
+        ))
         f0, f1 = r0 + 1, r1 + 1
         ia = int(valid_pos[np.argmin(np.abs(kf_frames - f0))])
         ib = int(valid_pos[np.argmin(np.abs(kf_frames - f1))])
@@ -318,7 +326,11 @@ def _mine_lc_pose_factors(
             q_ab = qconj(q_ab)
             t_ab = -qrotate(q_ab, t_ab)
         if key not in best or best[key][0] < n:
-            best[key] = (n, np.asarray(t_ab), np.asarray(q_ab))
+            # the short filter-pose hops and any (i,j) flip perturb the
+            # Kabsch covariance only to second order — keep it as the
+            # factor's noise model (plus the floor in sqrt_information)
+            best[key] = (n, np.asarray(t_ab), np.asarray(q_ab),
+                         sqrt_information(cov))
     if not best:
         return None
     keys = sorted(best)
@@ -328,4 +340,5 @@ def _mine_lc_pose_factors(
         np.stack([best[k][1] for k in keys]).astype(np.float32),
         np.stack([best[k][2] for k in keys]).astype(np.float32),
         np.ones(len(keys), np.float32),
+        np.stack([best[k][3] for k in keys]).astype(np.float32),
     )

@@ -28,9 +28,35 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from pre3_tpu.geometry.quaternion import qconj, qprod, qrotate, r2q
+from pre3_tpu.geometry.quaternion import r2q
 from pre3_tpu.ops.matching import match_descriptors_auto
+from pre3_tpu.vo.covariance import vo_covariance
 from pre3_tpu.vo.ransac import ransac_rigid
+
+
+# conservative noise floor added to every factor covariance so the
+# sqrt-information can never claim better than ~5 mm / 0.25°
+_COV_FLOOR = np.diag([2.5e-5] * 3 + [2e-5] * 3)
+
+# Empirical variance inflation, CALIBRATED against ground truth (r5):
+# on synthetic loop scenes the Kabsch pose errors vs GT were 3-5× the
+# IFT model's σ in the narrow-FOV rotation-translation ambiguity
+# direction (measured: |t_err| 4-14 cm, rot 0.8-2.5°, while the model
+# claimed σ_t ≈ 1 cm — the per-point noise model misses the systematic
+# splat/texture localization bias, and the fitted rmse understates the
+# noise through overfitting 12-30 points with 6 DOF). 25 = (5σ)²
+# makes the factor's claimed confidence match its measured accuracy.
+_COV_INFLATION = 25.0
+
+
+def sqrt_information(cov: np.ndarray) -> np.ndarray:
+    """[6, 6] upper-triangular whitening matrix L with ‖L r‖² =
+    rᵀ Σ⁻¹ r for Σ = inflation·cov + floor — what
+    _pair_residual_jacobians applies to the raw factor residual."""
+    sig = _COV_INFLATION * np.asarray(cov, np.float64) + _COV_FLOOR
+    info = np.linalg.inv(sig)
+    info = 0.5 * (info + info.T)
+    return np.linalg.cholesky(info).T.astype(np.float32)  # upper: r↦L r
 
 
 def mine_keyframe_loop_closures(
@@ -41,6 +67,7 @@ def mine_keyframe_loop_closures(
     key: jax.Array | None = None,
     min_gap: int = 8,  # keyframe-index gap for a candidate pair
     max_dist: float = 1.2,  # m — estimated-proximity gate
+    min_path_ratio: float = 2.0,  # loop-likeness gate, see below
     min_inliers: int = 12,
     max_pairs: int = 16,  # strongest-first budget
     ratio: float = 1.3,
@@ -51,16 +78,23 @@ def mine_keyframe_loop_closures(
     Factor convention matches backend.ba._odo_residual:
     lcp_t = R_iᵀ(t_j − t_i), lcp_q = q_i⁻¹ ⊗ q_j — estimated here from
     the matched camera-frame point sets (p_i ≈ R·p_j + t via
-    ransac_rigid), with NO dependence on the drifted world poses."""
+    ransac_rigid), with NO dependence on the drifted world poses.
+
+    Candidate gate: a genuine loop pair is one where the camera traveled
+    FAR between the two keyframes yet ended up NEAR — path_length(a→b) /
+    dist(a, b) ≥ min_path_ratio. Plain proximity alone floods the budget
+    with same-leg neighbors whose relative pose the odometry chain
+    already pins (measured: those factors add Kabsch noise and slightly
+    WORSEN post-BA ATE, r5 first cut)."""
     if key is None:
         key = jax.random.PRNGKey(0)
     kf_t = np.asarray(kf_t)
     kf_valid = np.asarray(kf_valid)
     m = len(kf_t)
+    # cumulative path length along the keyframe chain
+    seg = np.linalg.norm(np.diff(kf_t, axis=0), axis=-1)
+    cum = np.concatenate([[0.0], np.cumsum(seg)])
 
-    # candidate pairs: temporally distant, spatially near (in the
-    # estimate — the drift this factor corrects is assumed smaller than
-    # max_dist, which is generous: bench loop drift is ~0.1-0.3 m)
     cands = []
     for a in range(m):
         if not kf_valid[a]:
@@ -69,11 +103,15 @@ def mine_keyframe_loop_closures(
             if not kf_valid[b]:
                 continue
             d = float(np.linalg.norm(kf_t[a] - kf_t[b]))
-            if d < max_dist:
-                cands.append((d, a, b))
+            if d >= max_dist:
+                continue
+            path = float(cum[b] - cum[a])
+            r_loop = path / max(d, 0.05)
+            if r_loop >= min_path_ratio:
+                cands.append((-r_loop, a, b))  # most loop-like first
     if not cands:
         return None
-    cands.sort()  # nearest-estimate first
+    cands.sort()
 
     @jax.jit
     def match_and_fit(fa_desc, fa_xyz, fa_valid, fb_desc, fb_xyz,
@@ -92,20 +130,27 @@ def mine_keyframe_loop_closures(
         fit = ransac_rigid(
             k, p_a, p_b, ok, batch=batch, min_inliers=min_inliers,
         )
-        return fit.r, fit.t, fit.ok, fit.n_inliers, fit.rmse
+        cov = vo_covariance(
+            fit.r, fit.t, p_a, p_b, fit.inliers.astype(p_a.dtype)
+        )
+        return fit.r, fit.t, fit.ok, fit.n_inliers, fit.rmse, cov
 
-    out_i, out_j, out_t, out_q, out_w = [], [], [], [], []
+    out_i, out_j, out_t, out_q, out_w, out_l = [], [], [], [], [], []
     seen = set()
-    for d, a, b in cands:
+    for _score, a, b in cands:
         if len(out_i) >= max_pairs:
             break
         if (a, b) in seen:
             continue
-        seen.add((a, b))
+        # neighbor suppression: one factor per trajectory neighborhood —
+        # adjacent keyframes share the same constraint information
+        for da in (-2, -1, 0, 1, 2):
+            for db in (-2, -1, 0, 1, 2):
+                seen.add((a + da, b + db))
         fa = jax.tree.map(lambda x: x[a], kf_feats)
         fb = jax.tree.map(lambda x: x[b], kf_feats)
         key, k = jax.random.split(key)
-        r, t, ok, n_inl, rmse = match_and_fit(
+        r, t, ok, n_inl, rmse, cov = match_and_fit(
             fa.desc, fa.xyz, fa.valid, fb.desc, fb.xyz, fb.valid, k
         )
         if not bool(ok):
@@ -115,22 +160,25 @@ def mine_keyframe_loop_closures(
         out_t.append(np.asarray(t, np.float32))
         out_q.append(np.asarray(r2q(jnp.asarray(r)), np.float32))
         out_w.append(1.0)
+        out_l.append(sqrt_information(np.asarray(cov)))
     if not out_i:
         return None
     return (
         np.asarray(out_i, np.int32), np.asarray(out_j, np.int32),
         np.stack(out_t), np.stack(out_q),
-        np.asarray(out_w, np.float32),
+        np.asarray(out_w, np.float32), np.stack(out_l),
     )
 
 
 def merge_lcp(problem, lcp):
     """Concatenate mined keyframe-rematch factors onto a BaProblem's
-    existing (filter-event) lcp factors. lcp = the tuple
-    mine_keyframe_loop_closures returns; None → problem unchanged."""
+    existing (filter-event) lcp factors. lcp = the 6-tuple
+    mine_keyframe_loop_closures returns (incl. per-factor
+    sqrt-information); None → problem unchanged. Both factor sources
+    emit lcp_info, so the merged problem always carries it."""
     if lcp is None:
         return problem
-    li, lj, lt, lq, lw = (jnp.asarray(x) for x in lcp)
+    li, lj, lt, lq, lw, linfo = (jnp.asarray(x) for x in lcp)
     if problem.lcp_i is not None:
         # drop mined pairs that duplicate existing (i, j) factors
         have = {
@@ -145,17 +193,27 @@ def merge_lcp(problem, lcp):
         ])
         if not keep.any():
             return problem
-        li, lj, lt, lq, lw = (
-            x[jnp.asarray(keep)] for x in (li, lj, lt, lq, lw)
+        li, lj, lt, lq, lw, linfo = (
+            x[jnp.asarray(keep)] for x in (li, lj, lt, lq, lw, linfo)
         )
+        g0 = problem.lcp_i.shape[0]
         li = jnp.concatenate([problem.lcp_i, li])
         lj = jnp.concatenate([problem.lcp_j, lj])
         lt = jnp.concatenate([problem.lcp_t, lt])
         lq = jnp.concatenate([problem.lcp_q, lq])
         lw = jnp.concatenate([
             problem.lcp_w if problem.lcp_w is not None
-            else jnp.ones(problem.lcp_i.shape[0], jnp.float32), lw,
+            else jnp.ones(g0, jnp.float32), lw,
+        ])
+        linfo = jnp.concatenate([
+            problem.lcp_info if problem.lcp_info is not None
+            else jnp.tile(
+                jnp.diag(jnp.asarray([20.0] * 3 + [50.0] * 3,
+                                     jnp.float32))[None], (g0, 1, 1)
+            ),
+            linfo,
         ])
     return problem._replace(
-        lcp_i=li, lcp_j=lj, lcp_t=lt, lcp_q=lq, lcp_w=lw
+        lcp_i=li, lcp_j=lj, lcp_t=lt, lcp_q=lq, lcp_w=lw,
+        lcp_info=linfo,
     )

@@ -304,13 +304,25 @@ def bundle_adjust_pose_sharded(
         ),
     }
     if has_lcp:
+        n_lcp = int(problem.lcp_i.shape[0])
         gg_in["lcp_i"] = jnp.asarray(problem.lcp_i, jnp.int32)
         gg_in["lcp_j"] = jnp.asarray(problem.lcp_j, jnp.int32)
         gg_in["lcp_t"] = jnp.asarray(problem.lcp_t)
         gg_in["lcp_q"] = jnp.asarray(problem.lcp_q)
         gg_in["lcp_w"] = (
             jnp.asarray(problem.lcp_w) if problem.lcp_w is not None
-            else jnp.ones(problem.lcp_i.shape[0], jnp.float32)
+            else jnp.ones(n_lcp, jnp.float32)
+        )
+        # per-factor sqrt-information (diag of the scalar weights when
+        # the problem carries none) — see _pair_residual_jacobians
+        gg_in["lcp_info"] = (
+            jnp.asarray(problem.lcp_info)
+            if problem.lcp_info is not None
+            else jnp.tile(
+                jnp.diag(jnp.asarray(
+                    [lcp_weight_t] * 3 + [lcp_weight_r] * 3, jnp.float32
+                ))[None], (n_lcp, 1, 1),
+            )
         )
     gg_in = {k: jax.device_put(v, rep) for k, v in gg_in.items()}
     g_pts0 = jax.device_put(
@@ -488,12 +500,13 @@ def bundle_adjust_pose_sharded(
             # the matvec factored (Jᵀ(Jx)) — never as a dense [6F, 6F]
             ggv = {
                 k: jax.lax.pcast(gg[k], (spmd_axis,), to="varying")
-                for k in ("lcp_i", "lcp_j", "lcp_t", "lcp_q", "lcp_w")
+                for k in ("lcp_i", "lcp_j", "lcp_t", "lcp_q", "lcp_w",
+                          "lcp_info")
             }
             i_p, j_p = ggv["lcp_i"], ggv["lcp_j"]
             r_p, ji_p, jj_p = _pair_residual_jacobians(
                 t_glob, q_glob, i_p, j_p, ggv["lcp_t"], ggv["lcp_q"],
-                lcp_weight_t, lcp_weight_r, ggv["lcp_w"],
+                1.0, 1.0, ggv["lcp_w"], ggv["lcp_info"],
             )
             fpad = fb * n_dev
             rhs_p = (
@@ -634,8 +647,8 @@ def bundle_adjust_pose_sharded(
         if has_lcp:
             r_p, _, _ = _pair_residual_jacobians(
                 t_glob, q_glob, ggv["lcp_i"], ggv["lcp_j"],
-                ggv["lcp_t"], ggv["lcp_q"], lcp_weight_t, lcp_weight_r,
-                ggv["lcp_w"],
+                ggv["lcp_t"], ggv["lcp_q"], 1.0, 1.0,
+                ggv["lcp_w"], ggv["lcp_info"],
             )
             tot = tot + jnp.sum(r_p * r_p) / n_dev
             n = n + jnp.sum(ggv["lcp_w"] > 0) / n_dev

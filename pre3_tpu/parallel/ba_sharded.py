@@ -127,11 +127,24 @@ def bundle_adjust_sharded(
         problem.lc_lm if problem.lc_lm is not None
         else jnp.zeros(l, bool)
     )
+    # lcp factors always flow as a 6-tensor group with a [G, 6, 6]
+    # square-root information per factor (diag of the scalar weights
+    # when the problem carries none) — one static jit signature
     if n_lcp > 0:
+        info = (
+            problem.lcp_info if problem.lcp_info is not None
+            else jnp.tile(
+                jnp.diag(jnp.asarray(
+                    [lcp_weight_t] * 3 + [lcp_weight_r] * 3,
+                    problem.kf_t.dtype,
+                ))[None], (n_lcp, 1, 1),
+            )
+        )
         lcp_in = (
             problem.lcp_i, problem.lcp_j, problem.lcp_t, problem.lcp_q,
             problem.lcp_w if problem.lcp_w is not None
             else jnp.ones(n_lcp, problem.kf_t.dtype),
+            info,
         )
     else:  # static-shape dummies (G=1, weight 0 → exact no-op factor)
         lcp_in = (
@@ -140,6 +153,8 @@ def bundle_adjust_sharded(
             jnp.tile(jnp.array([1.0, 0, 0, 0], problem.kf_t.dtype),
                      (1, 1)),
             jnp.zeros(1, problem.kf_t.dtype),
+            jnp.tile(jnp.eye(6, dtype=problem.kf_t.dtype)[None],
+                     (1, 1, 1)),
         )
 
     g = partial(globalize_replicated, mesh)
@@ -182,7 +197,7 @@ def _make_run(mesh, cam, iters, damping, odo_weight_t, odo_weight_r,
 
     def local_step(kf_t, kf_q, points_l, obs_uv_l, mask_l, obs_xyz_l,
                    w_xyz_l, lam, odo_t, odo_q, odo_wv, lc_l,
-                   lcp_i, lcp_j, lcp_t, lcp_q, lcp_w):
+                   lcp_i, lcp_j, lcp_t, lcp_q, lcp_w, lcp_info):
         """Runs per device on its landmark shard. odo_*/lcp_* are
         replicated (camera-camera factors, added once post-psum); lc_l
         is the local shard's loop-closure mask (un-Huberized factors)."""
@@ -223,7 +238,7 @@ def _make_run(mesh, cam, iters, damping, odo_weight_t, odo_weight_r,
         # when the problem has none — exact no-ops)
         s_lc, rhs_lc, _, _ = _pair_terms(
             kf_t, kf_q, lcp_i, lcp_j, lcp_t, lcp_q,
-            lcp_weight_t, lcp_weight_r, lcp_w,
+            1.0, 1.0, lcp_w, lcp_info,
         )
         s_full = s_full + s_lc
         rhs_full = rhs_full + rhs_lc
@@ -252,7 +267,7 @@ def _make_run(mesh, cam, iters, damping, odo_weight_t, odo_weight_r,
         mesh=mesh,
         in_specs=(rep, rep, pt_spec, lm_spec, lm_spec, lm_spec, lm_spec,
                   rep, rep, rep, rep, pt_spec,
-                  rep, rep, rep, rep, rep),
+                  rep, rep, rep, rep, rep, rep),
         out_specs=(rep, pt_spec),
     )
 
@@ -284,13 +299,12 @@ def _make_run(mesh, cam, iters, damping, odo_weight_t, odo_weight_r,
     @jax.jit
     def run(kf_t, kf_q, points, obs_uv, mask, obs_xyz, w_xyz_fl,
             odo_t, odo_q, odo_wv, lc,
-            lcp_i, lcp_j, lcp_t, lcp_q, lcp_w):
+            lcp_i, lcp_j, lcp_t, lcp_q, lcp_w, lcp_info):
         odo = (
             (odo_t, odo_q, odo_weight_t, odo_weight_r, odo_wv)
             if has_odo else None
         )
-        lcp = (lcp_i, lcp_j, lcp_t, lcp_q, lcp_weight_t, lcp_weight_r,
-               lcp_w)
+        lcp = (lcp_i, lcp_j, lcp_t, lcp_q, 1.0, 1.0, lcp_w, lcp_info)
 
         def cost(kf_t, kf_q, points):
             tot, n = sharded_cost(kf_t, kf_q, points, obs_uv, mask,
@@ -308,7 +322,7 @@ def _make_run(mesh, cam, iters, damping, odo_weight_t, odo_weight_r,
             dc, dp = sharded(
                 kf_t, kf_q, points, obs_uv, mask, obs_xyz, w_xyz_fl, lam,
                 odo_t, odo_q, odo_wv, lc,
-                lcp_i, lcp_j, lcp_t, lcp_q, lcp_w,
+                lcp_i, lcp_j, lcp_t, lcp_q, lcp_w, lcp_info,
             )
             t2 = kf_t + dc[:, :3]
             q2 = qnormalize(qprod(kf_q, v2q(dc[:, 3:])))

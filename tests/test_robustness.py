@@ -90,6 +90,7 @@ def test_nan_depth_holes(clean_seq, clean_ate):
         x_[f][m] = np.nan
     out = _run(i_, x_, c_)
     ate = float(ate_rmse(np.asarray(out.t), gt, align=False))
+    print(f"corrupted ate {ate:.4f} vs clean {clean_ate:.4f}")
     assert ate < max(3.0 * clean_ate, 0.08), (ate, clean_ate)
 
 
@@ -107,6 +108,7 @@ def test_confidence_dropout(clean_seq, clean_ate):
         c_[f][m] = 0.02
     out = _run(i_, x_, c_)
     ate = float(ate_rmse(np.asarray(out.t), gt, align=False))
+    print(f"corrupted ate {ate:.4f} vs clean {clean_ate:.4f}")
     assert ate < max(3.0 * clean_ate, 0.08), (ate, clean_ate)
 
 
@@ -125,6 +127,7 @@ def test_saturated_intensity(clean_seq, clean_ate):
         i_[f][m] = 1.0
     out = _run(i_, x_, c_)
     ate = float(ate_rmse(np.asarray(out.t), gt, align=False))
+    print(f"corrupted ate {ate:.4f} vs clean {clean_ate:.4f}")
     assert ate < max(3.0 * clean_ate, 0.08), (ate, clean_ate)
 
 
@@ -156,4 +159,5 @@ def test_moving_outlier_object(clean_ate):
     gt = (traj.t - traj.t[0]) @ traj.r[0]
     out = _run(*_stack(frames))
     ate = float(ate_rmse(np.asarray(out.t), gt, align=False))
+    print(f"corrupted ate {ate:.4f} vs clean {clean_ate:.4f}")
     assert ate < max(3.0 * clean_ate, 0.08), (ate, clean_ate)

@@ -56,7 +56,14 @@ def main(n_frames=256, batches=(1, 4, 8, 16)):
     gts = [s[3] for s in seqs]
 
     def one(i, x, c, key):
-        fs = jax.vmap(extract_features_sift)(i, x, c)
+        # chunked frontend: a flat vmap over B×256 frames materializes
+        # the full scale-space for every frame at once (≈0.5 GB per 256
+        # frames per pyramid level) and OOMs at B ≥ 4; lax.map with a
+        # batch bound keeps the frontend working set constant in B
+        fs = jax.lax.map(
+            lambda t: extract_features_sift(*t), (i, x, c),
+            batch_size=8,
+        )
         return run_slam(cam, fs, key, cfg=CFG, n_landmarks=N_LANDMARKS)
 
     for b in batches:
