@@ -29,7 +29,7 @@ N_LANDMARKS = 256
 CFG = SlamConfig(min_measured=50, max_update_slots=96)
 
 
-def main(n_frames=256, batches=(1, 4, 8, 16)):
+def main(n_frames=256, batches=(1, 4, 8, 16), n_landmarks=N_LANDMARKS):
     cam = sr4000_camera()
     print("backend:", jax.default_backend(), flush=True)
     drift = 0.03 * 0.5 * n_frames
@@ -55,19 +55,24 @@ def main(n_frames=256, batches=(1, 4, 8, 16)):
     conf = jnp.asarray(np.stack([s[2] for s in seqs]))
     gts = [s[3] for s in seqs]
 
-    def one(i, x, c, key):
-        # chunked frontend: a flat vmap over B×256 frames materializes
-        # the full scale-space for every frame at once (≈0.5 GB per 256
-        # frames per pyramid level) and OOMs at B ≥ 4; lax.map with a
-        # batch bound keeps the frontend working set constant in B
+    def pipe_fn(i, x, c, keys):
+        # frontend: lax.map over the SEQUENCE axis, each step the
+        # full-sequence vmapped extractor (the proven B=1 working set —
+        # a flat vmap over B×F frames OOMs at B ≥ 4, and mapping over
+        # frames inside vmap(B) hit device faults at B = 8); the EKF
+        # scan then vmaps over sequences (per-step kernels batch on the
+        # MXU, which is the capacity story being measured)
         fs = jax.lax.map(
-            lambda t: extract_features_sift(*t), (i, x, c),
-            batch_size=8,
+            lambda t: jax.vmap(extract_features_sift)(*t), (i, x, c)
         )
-        return run_slam(cam, fs, key, cfg=CFG, n_landmarks=N_LANDMARKS)
+        return jax.vmap(
+            lambda f, k: run_slam(
+                cam, f, k, cfg=CFG, n_landmarks=n_landmarks
+            )
+        )(fs, keys)
 
     for b in batches:
-        pipe = jax.jit(jax.vmap(one))
+        pipe = jax.jit(pipe_fn)
         keys = jax.random.split(jax.random.PRNGKey(0), b)
         args = (intensity[:b], xyz[:b], conf[:b], keys)
         out = pipe(*args)  # compile + warm
@@ -93,6 +98,8 @@ def main(n_frames=256, batches=(1, 4, 8, 16)):
 
 
 if __name__ == "__main__":
+    # usage: measure_batch.py [n_frames] [K] [batches...]
     nf = int(sys.argv[1]) if len(sys.argv) > 1 else 256
-    bs = tuple(int(x) for x in sys.argv[2:]) or (1, 4, 8, 16)
-    main(nf, bs)
+    k = int(sys.argv[2]) if len(sys.argv) > 2 else N_LANDMARKS
+    bs = tuple(int(x) for x in sys.argv[3:]) or (1, 4, 8, 16)
+    main(nf, bs, k)
