@@ -75,6 +75,11 @@ def _deactivate(state: EkfState, drop: jnp.ndarray) -> EkfState:
     keep_dims = jnp.concatenate(
         [jnp.ones(CAM_DIM, bool), jnp.repeat(~drop, LM_DIM)]
     )
+
+    # NOTE: gating this behind lax.cond(any(drop)) was measured SLOWER on
+    # TPU (only_predict 1.36 → 2.05 ms/frame): the conditional splits the
+    # scan body into sub-computations and defeats XLA fusion. The
+    # unconditional masked multiply stays.
     x = jnp.where(keep_dims, state.x, 0.0)
     p = state.p * keep_dims[:, None] * keep_dims[None, :]
     return state._replace(
@@ -128,6 +133,8 @@ def convert_to_cartesian(
     # J = blockdiag(I, …, B_s, …) applied as gathered strip products on
     # the M selected slots only: row strips then column strips gives
     # exactly J P Jᵀ (still O(M·36·D), now with O(M·6·D) memory traffic).
+    # (A lax.cond skip on no-conversion steps was measured slower on TPU —
+    # conditionals split the scan body and defeat fusion; see _deactivate.)
     d = CAM_DIM + k * LM_DIM
     rows = (CAM_DIM + sel[:, None] * LM_DIM
             + jnp.arange(LM_DIM)[None, :]).reshape(-1)  # [M·6]
@@ -242,77 +249,142 @@ def add_features(
     else:
         cand_patches = None
 
-    def add_one(st: EkfState, j):
-        fidx = top_idx[j]
-        slot = free_slots[j]
-        do = top_ok[j] & slot_free[j]
+    # All max_adds insertions as ONE batched covariance augmentation
+    # (add_a_feature_covariance_inverse_depth.m:27-90, vectorized over the
+    # adds). The sequential reference adds one landmark at a time, each
+    # strip reading the P that already contains the previous adds; here
+    # the strips are computed against the pre-add P and the missing
+    # new×new cross-covariance Jc_a·Pcc·Jc_bᵀ is written explicitly —
+    # algebraically identical (new slots' pre-add rows are zero), and it
+    # replaces max_adds full-pytree where-selects (≈ 8 full-[D,D] HBM
+    # passes per step — the dominant map-management cost at K=256) with
+    # three strip/block scatters.
+    a = max_adds
+    do = top_ok & slot_free  # [A]
+    uv_a = frame.uv[top_idx]  # [A, 2]
+    xyz_a = frame.xyz[top_idx]  # [A, 3]
+    rho0 = 1.0 / jnp.maximum(
+        jnp.linalg.norm(xyz_a, axis=-1), 1e-6
+    )  # [A]
+    # depth-prior std (initialize_a_feature_sift_3.m:116-117):
+    # σρ = σ_d·ρ² with σ_d = depth_sigma (constant 1 cm, reference
+    # parity). The SR4000's actual range noise grows ∝ range² beyond
+    # a couple of meters (amplitude ∝ 1/d², cov_pose_shift_calc.m
+    # noise model); depth_range_quadratic switches to the hybrid
+    # σ_d = depth_sigma·max(1, (d/d0)²): the reference prior inside
+    # d0, honestly looser beyond — σρ = depth_sigma·max(ρ², 1/d0²).
+    # Measured (512-frame corridor, far features at 3.4–5.7 m):
+    # SLAM ATE 1.69 → 0.78 with the quadratic tail; the d0 knee
+    # protects the short-sequence regime where the tight reference
+    # prior is what anchors scale.
+    d0 = depth_range_d0
+    sig_rho = (
+        depth_sigma * jnp.maximum(rho0 * rho0, 1.0 / (d0 * d0))
+        if depth_range_quadratic
+        else depth_sigma * rho0 * rho0
+    )  # [A]
 
-        uv = frame.uv[fidx]
-        xyz = frame.xyz[fidx]
-        rho0 = 1.0 / jnp.maximum(jnp.linalg.norm(xyz), 1e-6)
-        # depth-prior std (initialize_a_feature_sift_3.m:116-117):
-        # σρ = σ_d·ρ² with σ_d = depth_sigma (constant 1 cm, reference
-        # parity). The SR4000's actual range noise grows ∝ range² beyond
-        # a couple of meters (amplitude ∝ 1/d², cov_pose_shift_calc.m
-        # noise model); depth_range_quadratic switches to the hybrid
-        # σ_d = depth_sigma·max(1, (d/d0)²): the reference prior inside
-        # d0, honestly looser beyond — σρ = depth_sigma·max(ρ², 1/d0²).
-        # Measured (512-frame corridor, far features at 3.4–5.7 m):
-        # SLAM ATE 1.69 → 0.78 with the quadratic tail; the d0 knee
-        # protects the short-sequence regime where the tight reference
-        # prior is what anchors scale.
-        d0 = depth_range_d0
-        sig_rho = (
-            depth_sigma * jnp.maximum(rho0 * rho0, 1.0 / (d0 * d0))
-            if depth_range_quadratic
-            else depth_sigma * rho0 * rho0
+    cam13 = state.x[:CAM_DIM]
+
+    def y_of(c, uv_, rho_):
+        return inverse_depth_point(cam_model, uv_, c[0:3], c[3:7], rho_)
+
+    y_a = jax.vmap(lambda u, r: y_of(cam13, u, r))(uv_a, rho0)  # [A, 6]
+    jc_a = jax.vmap(
+        lambda u, r: jax.jacfwd(lambda c: y_of(c, u, r))(cam13)
+    )(uv_a, rho0)  # [A, 6, 13]
+    juv_a = jax.vmap(
+        lambda u, r: jax.jacfwd(lambda uu: y_of(cam13, uu, r))(u)
+    )(uv_a, rho0)  # [A, 6, 2]
+    jr_a = jax.vmap(
+        lambda u, r: jax.jacfwd(lambda rr: y_of(cam13, u, rr))(r)
+    )(uv_a, rho0)  # [A, 6]
+
+    # Gate failed adds to exact no-ops: a non-do slot keeps its zeroed
+    # x/P rows (inactive slots are zeroed by _deactivate/init_state).
+    y_a = jnp.where(do[:, None], y_a, 0.0)
+    jc_eff = jnp.where(do[:, None, None], jc_a, 0.0)
+
+    pcc = state.p[:CAM_DIM, :CAM_DIM]
+    strips = jnp.einsum(
+        "aij,jD->aiD", jc_eff, state.p[:CAM_DIM, :]
+    )  # [A, 6, D]
+    cross = jnp.einsum(
+        "aij,jk,blk->aibl", jc_eff, pcc, jc_eff
+    )  # [A, 6, A, 6]
+    noise = (std_pxl**2) * jnp.einsum(
+        "ail,ajl->aij", juv_a, juv_a
+    ) + (sig_rho**2)[:, None, None] * jnp.einsum(
+        "ai,aj->aij", jr_a, jr_a
+    )  # [A, 6, 6]
+    noise = jnp.where(do[:, None, None], noise, 0.0)
+    cross = cross.at[jnp.arange(a), :, jnp.arange(a), :].add(noise)
+
+    rows = (
+        CAM_DIM + free_slots[:, None] * LM_DIM
+        + jnp.arange(LM_DIM)[None, :]
+    ).reshape(-1)  # [A·6] — distinct (free_slots is argsort output)
+    # When fewer than max_adds slots are free, free_slots' tail holds
+    # ACTIVE slots (do=False there): their rows must stay untouched, so
+    # every scatter writes the original values back outside `do`.
+    do_rep = jnp.repeat(do, LM_DIM)  # [A·6]
+    strips_flat = strips.reshape(a * LM_DIM, -1)
+    p = state.p.at[rows, :].set(
+        jnp.where(do_rep[:, None], strips_flat, state.p[rows, :])
+    )
+    p = p.at[:, rows].set(
+        jnp.where(do_rep[None, :], strips_flat.T, p[:, rows])
+    )
+    # new×new cross block only where BOTH endpoints are fresh adds; a
+    # (do, ¬do) pair's covariance is already correct from the strip write
+    blk = p[rows[:, None], rows[None, :]]
+    p = p.at[rows[:, None], rows[None, :]].set(
+        jnp.where(
+            do_rep[:, None] & do_rep[None, :],
+            cross.reshape(a * LM_DIM, a * LM_DIM), blk,
         )
+    )
+    x = state.x.at[rows].set(
+        jnp.where(do_rep, y_a.reshape(-1), state.x[rows])
+    )
 
-        cam13 = st.x[:CAM_DIM]
-
-        def y_of(c, uv_, rho_):
-            return inverse_depth_point(cam_model, uv_, c[0:3], c[3:7], rho_)
-
-        y = y_of(cam13, uv, rho0)  # [6]
-        jc = jax.jacfwd(lambda c: y_of(c, uv, rho0))(cam13)  # [6, 13]
-        juv = jax.jacfwd(lambda u: y_of(cam13, u, rho0))(uv)  # [6, 2]
-        jr = jax.jacfwd(lambda rr: y_of(cam13, uv, rr))(rho0)  # [6]
-
-        # covariance augmentation (add_a_feature_covariance_inverse_depth)
-        strip = jc @ st.p[:CAM_DIM, :]  # [6, D]
-        pll = (
-            jc @ st.p[:CAM_DIM, :CAM_DIM] @ jc.T
-            + (std_pxl**2) * (juv @ juv.T)
-            + (sig_rho**2) * jnp.outer(jr, jr)
-        )
-        row0 = CAM_DIM + slot * LM_DIM
-
-        p = st.p
-        p = jax.lax.dynamic_update_slice(p, strip, (row0, 0))
-        p = jax.lax.dynamic_update_slice(p, strip.T, (0, row0))
-        p = jax.lax.dynamic_update_slice(p, pll, (row0, row0))
-        x = jax.lax.dynamic_update_slice(st.x, y, (row0,))
-
-        new = st._replace(
-            x=x, p=p,
-            active=st.active.at[slot].set(True),
-            is_id=st.is_id.at[slot].set(True),
-            desc=st.desc.at[slot].set(frame.desc[fidx]),
-            times_predicted=st.times_predicted.at[slot].set(0),
-            times_measured=st.times_measured.at[slot].set(0),
-            init_frame=st.init_frame.at[slot].set(step),
-            last_visible=st.last_visible.at[slot].set(step),
-            init_uv=st.init_uv.at[slot].set(uv),
-            init_cam=st.init_cam.at[slot].set(cam13[0:7]),
-        )
-        if cand_patches is not None:
-            new = new._replace(
-                init_patch=new.init_patch.at[slot].set(cand_patches[j])
+    state = state._replace(
+        x=x, p=p,
+        active=state.active.at[free_slots].set(
+            state.active[free_slots] | do
+        ),
+        is_id=state.is_id.at[free_slots].set(
+            jnp.where(do, True, state.is_id[free_slots])
+        ),
+        desc=state.desc.at[free_slots].set(
+            jnp.where(do[:, None], frame.desc[top_idx],
+                      state.desc[free_slots])
+        ),
+        times_predicted=state.times_predicted.at[free_slots].set(
+            jnp.where(do, 0, state.times_predicted[free_slots])
+        ),
+        times_measured=state.times_measured.at[free_slots].set(
+            jnp.where(do, 0, state.times_measured[free_slots])
+        ),
+        init_frame=state.init_frame.at[free_slots].set(
+            jnp.where(do, step, state.init_frame[free_slots])
+        ),
+        last_visible=state.last_visible.at[free_slots].set(
+            jnp.where(do, step, state.last_visible[free_slots])
+        ),
+        init_uv=state.init_uv.at[free_slots].set(
+            jnp.where(do[:, None], uv_a, state.init_uv[free_slots])
+        ),
+        init_cam=state.init_cam.at[free_slots].set(
+            jnp.where(do[:, None], cam13[0:7][None],
+                      state.init_cam[free_slots])
+        ),
+    )
+    if cand_patches is not None:
+        state = state._replace(
+            init_patch=state.init_patch.at[free_slots].set(
+                jnp.where(do[:, None, None], cand_patches,
+                          state.init_patch[free_slots])
             )
-        return jax.tree.map(
-            lambda a, b: jnp.where(do, a, b), new, st
         )
-
-    for j in range(max_adds):
-        state = add_one(state, j)
     return state

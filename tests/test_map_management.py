@@ -122,3 +122,157 @@ def test_slam_tracks_with_weighted_init_sampling():
         cfg=SlamConfig(init_sampling="weighted"), n_landmarks=64,
     )
     assert ate_rmse(np.asarray(out.t), gt, align=False) < 0.05
+
+
+# ---------------------------------------------------------------------------
+# Batched covariance-augmentation equality (r5: add_features rewrote the
+# per-add sequential loop — 8 full-pytree where-selects per step — as one
+# batched strip/block scatter; this pins exact agreement with the
+# sequential form, including the overfull case where free_slots' tail
+# holds active slots that must stay untouched)
+# ---------------------------------------------------------------------------
+
+from pre3_tpu.ekf.map_management import add_features
+from pre3_tpu.ekf.state import CAM_DIM, LM_DIM, init_state
+from pre3_tpu.frontend.pipeline import Features
+from pre3_tpu.geometry.camera import sr4000_camera
+from pre3_tpu.geometry.inverse_depth import inverse_depth_point
+
+
+def add_features_seq(cam_model, state, frame, predicted_h, step, n_measured,
+                     max_adds=8, min_measured=25, min_separation_px=10.0,
+                     std_pxl=1.0, depth_sigma=0.01,
+                     depth_range_quadratic=False, depth_range_d0=2.0):
+    """The former sequential implementation (reference oracle)."""
+    k = state.n_landmarks
+    d2map = jnp.linalg.norm(frame.uv[:, None, :] - predicted_h[None], axis=-1)
+    d2map = jnp.where(state.active[None], d2map, jnp.inf)
+    far = jnp.min(d2map, axis=-1) > min_separation_px
+    has_depth = jnp.linalg.norm(frame.xyz, axis=-1) > 0.2
+    cand = frame.valid & has_depth & far
+    want = n_measured < min_measured
+    score = jnp.where(cand & want, frame.score, -1.0)
+    top_score, top_idx = jax.lax.top_k(score, max_adds)
+    top_ok = top_score > 0
+    slot_order = jnp.argsort(state.active.astype(jnp.int32), stable=True)
+    free_slots = slot_order[:max_adds]
+    slot_free = ~state.active[free_slots]
+
+    def add_one(st, j):
+        fidx = top_idx[j]
+        slot = free_slots[j]
+        do = top_ok[j] & slot_free[j]
+        uv = frame.uv[fidx]
+        xyz = frame.xyz[fidx]
+        rho0 = 1.0 / jnp.maximum(jnp.linalg.norm(xyz), 1e-6)
+        d0 = depth_range_d0
+        sig_rho = (depth_sigma * jnp.maximum(rho0 * rho0, 1.0 / (d0 * d0))
+                   if depth_range_quadratic else depth_sigma * rho0 * rho0)
+        cam13 = st.x[:CAM_DIM]
+
+        def y_of(c, uv_, rho_):
+            return inverse_depth_point(cam_model, uv_, c[0:3], c[3:7], rho_)
+
+        y = y_of(cam13, uv, rho0)
+        jc = jax.jacfwd(lambda c: y_of(c, uv, rho0))(cam13)
+        juv = jax.jacfwd(lambda u: y_of(cam13, u, rho0))(uv)
+        jr = jax.jacfwd(lambda rr: y_of(cam13, uv, rr))(rho0)
+        strip = jc @ st.p[:CAM_DIM, :]
+        pll = (jc @ st.p[:CAM_DIM, :CAM_DIM] @ jc.T
+               + (std_pxl**2) * (juv @ juv.T)
+               + (sig_rho**2) * jnp.outer(jr, jr))
+        row0 = CAM_DIM + slot * LM_DIM
+        p = st.p
+        p = jax.lax.dynamic_update_slice(p, strip, (row0, 0))
+        p = jax.lax.dynamic_update_slice(p, strip.T, (0, row0))
+        p = jax.lax.dynamic_update_slice(p, pll, (row0, row0))
+        x = jax.lax.dynamic_update_slice(st.x, y, (row0,))
+        new = st._replace(
+            x=x, p=p,
+            active=st.active.at[slot].set(True),
+            is_id=st.is_id.at[slot].set(True),
+            desc=st.desc.at[slot].set(frame.desc[fidx]),
+            times_predicted=st.times_predicted.at[slot].set(0),
+            times_measured=st.times_measured.at[slot].set(0),
+            init_frame=st.init_frame.at[slot].set(step),
+            last_visible=st.last_visible.at[slot].set(step),
+            init_uv=st.init_uv.at[slot].set(uv),
+            init_cam=st.init_cam.at[slot].set(cam13[0:7]),
+        )
+        return jax.tree.map(lambda a, b: jnp.where(do, a, b), new, st)
+
+    for j in range(max_adds):
+        state = add_one(state, j)
+    return state
+
+def _random_state_and_frame(seed=0, k=24, kf=40, dd=32, n_act=10):
+    rng = np.random.default_rng(seed)
+    st = init_state(n_landmarks=k, desc_dim=dd)
+    act = np.zeros(k, bool)
+    act[:n_act] = True
+    x = np.asarray(st.x).copy()
+    x[3] = 1.0
+    x[0:3] = rng.normal(scale=0.1, size=3)
+    for i in range(n_act):
+        x[CAM_DIM + i * LM_DIM: CAM_DIM + (i + 1) * LM_DIM] = np.r_[
+            rng.normal(scale=0.5, size=3), rng.uniform(-1, 1, 2),
+            rng.uniform(0.3, 1.0)]
+    d = x.shape[0]
+    nact = CAM_DIM + n_act * LM_DIM
+    a_mat = rng.normal(scale=0.05, size=(nact, nact))
+    p = np.zeros((d, d), np.float32)
+    p[:nact, :nact] = (a_mat @ a_mat.T).astype(np.float32)
+    st = st._replace(
+        x=jnp.asarray(x, jnp.float32), p=jnp.asarray(p),
+        active=jnp.asarray(act), is_id=jnp.asarray(act),
+        times_predicted=jnp.asarray(rng.integers(0, 9, k), jnp.int32),
+        times_measured=jnp.asarray(rng.integers(0, 9, k), jnp.int32),
+    )
+    frame = Features(
+        uv=jnp.asarray(rng.uniform(5, 140, (kf, 2)), jnp.float32),
+        xyz=jnp.asarray(
+            np.c_[rng.normal(scale=0.6, size=(kf, 2)),
+                  rng.uniform(1.0, 3.0, kf)], jnp.float32),
+        desc=jnp.asarray(rng.normal(size=(kf, dd)), jnp.float32),
+        score=jnp.asarray(rng.uniform(0, 1, kf), jnp.float32),
+        valid=jnp.asarray(rng.uniform(size=kf) > 0.2),
+    )
+    ph = jnp.asarray(rng.uniform(0, 160, (k, 2)), jnp.float32)
+    return st, frame, ph
+
+
+@pytest.mark.parametrize("quad", [False, True])
+@pytest.mark.parametrize("n_meas", [0, 50])
+def test_batched_add_matches_sequential(quad, n_meas):
+    cam = sr4000_camera()
+    st, frame, ph = _random_state_and_frame()
+    step = jnp.asarray(5, jnp.int32)
+    kw = dict(n_measured=jnp.asarray(n_meas, jnp.int32), max_adds=8,
+              min_measured=25, depth_range_quadratic=quad)
+    new = add_features(cam, st, frame, ph, step, **kw)
+    old = add_features_seq(cam, st, frame, ph, step,
+                           n_measured=jnp.asarray(n_meas, jnp.int32),
+                           max_adds=8, min_measured=25,
+                           depth_range_quadratic=quad)
+    for f in new._fields:
+        np.testing.assert_allclose(
+            np.asarray(getattr(new, f)), np.asarray(getattr(old, f)),
+            atol=2e-5, err_msg=f"field {f}")
+
+
+def test_batched_add_overfull_leaves_active_slots_untouched():
+    """max_adds exceeding the free-slot count: the scatter must not zero
+    the active slots that pad free_slots' tail."""
+    cam = sr4000_camera()
+    st, frame, ph = _random_state_and_frame()
+    step = jnp.asarray(5, jnp.int32)
+    new = add_features(cam, st, frame, ph, step,
+                       n_measured=jnp.asarray(0, jnp.int32), max_adds=16)
+    old = add_features_seq(cam, st, frame, ph, step,
+                           n_measured=jnp.asarray(0, jnp.int32),
+                           max_adds=16)
+    assert int(jnp.sum(new.active)) == st.n_landmarks  # filled the map
+    for f in new._fields:
+        np.testing.assert_allclose(
+            np.asarray(getattr(new, f)), np.asarray(getattr(old, f)),
+            atol=2e-5, err_msg=f"field {f}")
