@@ -211,6 +211,9 @@ def add_features(
     `key`; falls back to topk when key is None)."""
     k = state.n_landmarks
     kf = frame.uv.shape[0]
+    # More adds than slots can never land (bootstrap passes max_adds·4
+    # against small maps): clamp so candidates and free slots pair 1:1.
+    max_adds = min(max_adds, k)
 
     # Candidate gate: valid, has depth, far from every active landmark's
     # predicted position.

@@ -113,13 +113,16 @@ def predict_measurements(
     pcc = state.p[:CAM_DIM, :CAM_DIM]
     pcl = state.p[:CAM_DIM, CAM_DIM:].reshape(CAM_DIM, k, LM_DIM)
     pcl = jnp.swapaxes(pcl, 0, 1)  # [K, 13, 6]
-    pll_diag = jax.vmap(
-        lambda i: jax.lax.dynamic_slice(
-            state.p,
-            (CAM_DIM + i * LM_DIM, CAM_DIM + i * LM_DIM),
-            (LM_DIM, LM_DIM),
-        )
-    )(jnp.arange(k))  # [K, 6, 6]
+    # Diagonal 6×6 blocks of the landmark-landmark covariance as ONE
+    # static gather. (A vmapped dynamic_slice here compiled to a
+    # 256-iteration XLA loop — 256 tiny slice/update fusions per step,
+    # ~19% of the whole SLAM step on TPU; an einsum-diagonal "kakb->kab"
+    # was 5× worse again — the strided diagonal lowers to scalar loops.
+    # The element gather measured fastest: hlo_stats + timing, r5.)
+    rows = CAM_DIM + (
+        jnp.arange(k)[:, None] * LM_DIM + jnp.arange(LM_DIM)[None, :]
+    )  # [K, 6]
+    pll_diag = state.p[rows[:, :, None], rows[:, None, :]]  # [K, 6, 6]
     s = (
         jnp.einsum("kac,cd,kbd->kab", hc, pcc, hc)
         + jnp.einsum("kac,kcd,kbd->kab", hc, pcl, hl)

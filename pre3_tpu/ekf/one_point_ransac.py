@@ -96,15 +96,21 @@ def one_point_ransac(
     n_use = jnp.where(num_ic > n_points, n_points, 1)
     use = (jnp.arange(n_points)[None, :] < n_use) & ic_pool[idx]  # [B, S]
 
+    # zero non-IC JACOBIAN rows first: inactive slots carry NaN
+    # Jacobians, and the ΔX contraction below multiplies EVERY pool row
+    # by its (possibly zero) gain — 0·NaN would poison the whole batch.
+    # (Zeroing hc/hl [M,2,13] instead of ph [M,D,2] makes the zeroed ph
+    # rows fall out of the einsum for free — the post-hoc where was a
+    # full 3 MB copy per step, hlo_stats r5.)
+    hc_pool = jnp.where(ic_pool[:, None, None], hc_pool, 0.0)
+    hl_pool = jnp.where(ic_pool[:, None, None], hl_pool, 0.0)
     # Per-landmark gain column block P H_iᵀ = P[:, cam] Hc_iᵀ +
     # P[:, lm_i] Hl_iᵀ, precomputed once for the pool: [M, D, 2].
+    # (A [M, 2, D] layout meant to skip a transpose pass measured ~40 µs
+    # WORSE per step — XLA already picks good layouts here; r5 timing.)
     ph = jnp.einsum("dc,kec->kde", pc, hc_pool) + jnp.einsum(
         "dkl,kel->kde", pl_pool, hl_pool
     )
-    # zero non-IC rows: inactive slots carry NaN Jacobians, and the ΔX
-    # contraction below multiplies EVERY pool row by its (possibly zero)
-    # gain — 0·NaN would poison the whole batch
-    ph = jnp.where(ic_pool[:, None, None], ph, 0.0)
     nu_all = nu_pool  # [M, 2]
     s_pts = n_points
     ph_cam = ph[:, :CAM_DIM, :]  # [M, 13, 2]
@@ -136,19 +142,23 @@ def one_point_ransac(
         s_lm = jnp.einsum("jal,jmlb->jamb", hl, lm_rows)
         s = (s_cam + s_lm).reshape(2 * s_pts, 2 * s_pts)
         s = s + (std_z**2) * jnp.eye(2 * s_pts)
-        # S is PSD + σ²I → Cholesky solve (cheaper than LU at 6×6 batched)
-        c, low = jax.scipy.linalg.cho_factor(s, lower=True)
-        return jax.scipy.linalg.cho_solve((c, low), nu.reshape(-1))
+        # S is PSD + σ²I → unrolled batched Cholesky solve (the LAPACK
+        # custom-call cost ~150 µs/step for the B=256 6×6 batch on TPU;
+        # the unrolled form is pure fused VPU arithmetic)
+        from pre3_tpu.ops.small_chol import chol_solve_unrolled
+
+        return chol_solve_unrolled(s, nu.reshape(-1))
 
     ys = jax.vmap(gains_for)(idx, use)  # [B, 2S]
-    # ΔX_b = Σ_s ph[idx[b,s]] · y_b[2s:2s+2] — scatter the gains into
+    # ΔX_b = Σ_s ph[idx[b,s]] · y_b[2s:2s+2] — route the gains into
     # pool space and contract once: [B, M, 2] × [M, D, 2] → [B, D]. One
     # MXU matmul replaces B gathered [D, 2S] @ [2S] products (the old
     # [B, S, D, 2] gather was ~20 MB of HBM traffic per RANSAC call).
-    w = jnp.zeros((batch, m_pool, 2))
-    w = w.at[jnp.arange(batch)[:, None], idx, :].add(
-        jnp.where(use[..., None], ys.reshape(batch, s_pts, 2), 0.0)
-    )
+    # The pool-space routing is a one-hot contraction, not a scatter-add
+    # (the scatter was another 46 µs/step of serialized HBM updates).
+    ys_gated = jnp.where(use[..., None], ys.reshape(batch, s_pts, 2), 0.0)
+    onehot = (idx[..., None] == jnp.arange(m_pool)).astype(ph.dtype)
+    w = jnp.einsum("bsm,bse->bme", onehot, ys_gated)  # [B, M, 2]
     dx = jnp.einsum("bme,mde->bd", w, ph)  # [B, D]
     x_hyp = state.x[None] + dx  # [B, D]
 
