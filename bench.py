@@ -33,6 +33,7 @@ North-star target: vs_baseline ≥ 10.
 """
 
 import json
+import sys
 import time
 
 import jax
@@ -102,6 +103,11 @@ def fps_stats(n_frames, times):
     }
 
 
+def _note(msg):
+    """Progress marker on stderr (stdout stays the single JSON line)."""
+    print(f"[bench] {msg}", file=sys.stderr, flush=True)
+
+
 def main():
     cam = sr4000_camera()
     # Corridor scene: the trajectory drifts ≈1.5 cm/frame in +x (≈3.8 m
@@ -154,6 +160,7 @@ def main():
     fe = jax.jit(lambda i, x, c: jax.vmap(extract_features_sift)(i, x, c))
     feats, fe_dt = time_reps(lambda r: fe(intensity, xyz, conf))
     stage["frontend_sift"] = 1e3 * fe_dt / N_FRAMES
+    _note(f"frontend {stage['frontend_sift']:.3f} ms/frame")
 
     # ---- headline: full EKF-SLAM, frontend + scan in ONE program ----
     def make_pipeline(cfg, k):
@@ -177,6 +184,7 @@ def main():
         float(np.asarray(slam_out.stats.n_active).mean()), 1
     )
     extra["fps_k256"] = round(slam_fps, 2)
+    _note(f"headline {slam_fps:.1f} fps, ate {slam_ate:.4f}")
 
     # device-utilization figure from XLA's cost analysis of the compiled
     # headline program (flops are an HLO estimate; time is measured)
@@ -201,6 +209,7 @@ def main():
         lambda r: k64(intensity, xyz, conf, jax.random.PRNGKey(r))
     )
     extra["fps_k64"] = round(N_FRAMES / k64_dt, 2)
+    _note(f"k64 {extra['fps_k64']} fps")
 
     # ---- scan-ablation stage deltas at K=256 (scan only, on feats) ----
     abl = {}
@@ -220,6 +229,7 @@ def main():
     stage["ekf_update"] = max(abl["pure_ekf"] - abl["only_predict"], 0.0)
     stage["ransac_rescue_hi_update"] = max(abl["1pre"] - abl["pure_ekf"], 0.0)
     extra["per_stage_ms"] = {k: round(v, 3) for k, v in stage.items()}
+    _note(f"stages {extra['per_stage_ms']}")
 
     # ---- config #4: keyframes + Schur BA + smoothing ----
     from pre3_tpu.backend.ba import bundle_adjust
@@ -256,6 +266,7 @@ def main():
         extra["ba_fps"] = round(N_FRAMES / (slam_dt + ba_dt), 2)
         extra["ba_ms_total"] = round(1e3 * ba_dt, 1)
         extra["ba_n_keyframes"] = int(ks.n)
+        _note(f"ba {extra['ba_fps']} fps, ate {extra['ba_ate_rmse_m']}")
 
     # ---- loop-closure scenario (same shapes → same compiled program) ----
     # Out-and-back trajectory: the persistent map (max_invisible large)
@@ -323,6 +334,7 @@ def main():
     extra["slam_fast_ncc_ate_rmse_m"] = round(
         float(ate_rmse(np.asarray(fast_out.t), gt, align=False)), 4
     )
+    _note(f"ncc {ncc['median']} fps")
 
     # ---- config #1: VO dead reckoning (FAST+patch frontend) ----
     @jax.jit
@@ -341,6 +353,7 @@ def main():
     extra["vo_ate_rmse_m"] = round(
         float(ate_rmse(np.asarray(vo_out.t), gt, align=False)), 4
     )
+    _note(f"vo {extra['vo_frames_per_s']} fps")
 
     # ---- online streaming throughput (per-frame dispatch path) ----
     from pre3_tpu.runtime.online import OnlineSlam
@@ -407,6 +420,7 @@ def main():
     extra["online_fps"] = ck["median"]
     extra["online_fps_spread"] = ck
     extra["online_chunk"] = c
+    _note(f"online c1 {c1['median']} / c16 {ck['median']} fps")
 
     # all timed TPU sections done — now run the CPU reference port
     # uncontended (it only shares the host with untimed result assembly)
