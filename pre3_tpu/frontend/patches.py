@@ -42,6 +42,18 @@ def bilinear_sample(img: jnp.ndarray, uv: jnp.ndarray) -> jnp.ndarray:
     )
 
 
+def blend_matrix(coords: jnp.ndarray, n: int, dtype) -> jnp.ndarray:
+    """[..., n] one-hot-blend interpolation rows: weight (1−frac) at
+    floor(c) and frac at floor(c)+1 — one bilinear axis as a matrix so
+    sampling becomes a matmul (see extract_patch_descriptors)."""
+    c0 = jnp.floor(coords).astype(jnp.int32)
+    dc = coords - c0
+    return (
+        jax.nn.one_hot(c0, n, dtype=dtype) * (1.0 - dc)[..., None]
+        + jax.nn.one_hot(c0 + 1, n, dtype=dtype) * dc[..., None]
+    )
+
+
 @partial(jax.jit, static_argnames=("patch", "stride"))
 def extract_patch_descriptors(
     img: jnp.ndarray,
@@ -54,13 +66,26 @@ def extract_patch_descriptors(
     With these, matching via squared L2 distance is exactly NCC matching:
     ‖a − b‖² = 2(1 − NCC(a, b)); the reference's 0.60 correlation gate
     becomes dist² < 0.80.
+
+    The patch grid is an outer product of per-keypoint u-coords ×
+    v-coords, so the whole [K, P, P] stack is two separable blend
+    matmuls W_v · img · W_uᵀ — identical values to the 4-corner gather
+    form, but MXU work instead of 4·K·P² scalar gathers (which were 55%
+    of the whole FAST+NCC pipeline's device time, hlo_stats r5).
     """
+    h, w = img.shape
     half = (patch - 1) / 2.0
     offs = (jnp.arange(patch) - half) * stride
-    gu, gv = jnp.meshgrid(offs, offs, indexing="xy")
-    grid = jnp.stack([gu, gv], axis=-1).reshape(-1, 2)  # [P², 2]
-    pts = uv[:, None, :] + grid[None, :, :]  # [K, P², 2]
-    vals = bilinear_sample(img, pts)  # [K, P²]
+    u = jnp.clip(uv[:, 0][:, None] + offs[None, :], 0.0, w - 1.001)
+    v = jnp.clip(uv[:, 1][:, None] + offs[None, :], 0.0, h - 1.001)
+    wu = blend_matrix(u, w, img.dtype)  # [K, P, W]
+    wv = blend_matrix(v, h, img.dtype)  # [K, P, H]
+    rows = jnp.einsum(
+        "kph,hw->kpw", wv, img, precision=jax.lax.Precision.HIGHEST
+    )
+    vals = jnp.einsum(
+        "kpw,kqw->kpq", rows, wu, precision=jax.lax.Precision.HIGHEST
+    ).reshape(uv.shape[0], patch * patch)  # row-major (v, u) = grid order
     vals = vals - jnp.mean(vals, axis=-1, keepdims=True)
     n = jnp.linalg.norm(vals, axis=-1, keepdims=True)
     return vals / jnp.maximum(n, 1e-8)
